@@ -1,0 +1,278 @@
+"""Multi-limb Montgomery arithmetic for Fp/Fr in uint32 TPU lanes.
+
+Design (SURVEY.md components 1-3; BASELINE.json:5 "multi-limb (u32 lanes)
+Montgomery kernels"):
+
+* A field element is an array of L little-endian 16-bit limbs stored in
+  uint32, trailing axis: shape ``(..., L)``.  Fp: L=24 (R = 2^384),
+  Fr: L=16 (R = 2^256).  16-bit limb values keep every partial product
+  ``a_i * b_j < 2^32`` inside a native uint32 lane — no widening multiply
+  exists on the TPU VPU, which is what forces the 16-bit split.
+* Elements on the mul-heavy paths live in Montgomery form (x * R mod p);
+  conversion happens only at public boundaries.
+* Multiplication = schoolbook outer product with lo/hi 16-bit column
+  accumulation (sums stay < 2^22, proven below), one `lax.scan` carry
+  sweep, then an unrolled Montgomery REDC (L steps, static indices so
+  XLA sees a flat fused graph), one final carry sweep and a conditional
+  subtract.  ~O(L) XLA ops per step, no data-dependent control flow.
+* Long repetitive structure (pow chains) uses `lax.fori_loop` over a
+  precomputed bit table so the traced graph stays small.
+
+Static overflow bounds (SURVEY.md section 5.2 "race detection" analogue —
+the hazard class here is limb overflow, and every accumulator below is
+bounded by construction):
+  - column sums: <= 2L terms * (2^16-1) < 2^22           (uint32 ok)
+  - REDC limbs:  initial < 2^16 plus <= L lo + L hi adds of < 2^16 each
+                 plus one pushed carry < 2^22  =>  < 2^22.7 (uint32 ok)
+  - carry sweeps: value + carry_in < 2^23                 (uint32 ok)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+B = 16
+MASK = (1 << B) - 1
+
+# Frozen numeric constants (SURVEY.md section 2.1, verified in-session).
+P_MOD = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
+R_MOD = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+
+
+def int_to_limbs(x: int, n_limbs: int) -> np.ndarray:
+    return np.array([(x >> (B * i)) & MASK for i in range(n_limbs)], dtype=np.uint32)
+
+
+def limbs_to_int(limbs) -> int:
+    out = 0
+    for i, v in enumerate(np.asarray(limbs).tolist()):
+        out |= int(v) << (B * i)
+    return out
+
+
+class FieldParams:
+    """Static parameters of one prime field in the 16-bit-limb layout."""
+
+    def __init__(self, name: str, modulus: int, n_limbs: int):
+        self.name = name
+        self.modulus = modulus
+        self.L = n_limbs
+        self.R = 1 << (B * n_limbs)
+        assert self.R > modulus > 0
+        self.n_prime = (-pow(modulus, -1, 1 << B)) % (1 << B)
+        self.mod_limbs = int_to_limbs(modulus, n_limbs)
+        self.one_mont = int_to_limbs(self.R % modulus, n_limbs)
+        self.r2 = int_to_limbs((self.R * self.R) % modulus, n_limbs)
+        self.zero = np.zeros(n_limbs, dtype=np.uint32)
+        self.one_raw = int_to_limbs(1, n_limbs)
+        # Bit tables (LSB-first) for fixed-exponent pow chains.
+        self.inv_exp_bits = self._bits(modulus - 2)
+        # Per-instance jitted entry points: whole field ops compile once per
+        # shape instead of dispatching ~400 eager XLA ops per call.
+        self.add = jax.jit(self._add)
+        self.sub = jax.jit(self._sub)
+        self.neg = jax.jit(self._neg)
+        self.double = jax.jit(self._double)
+        self.mul = jax.jit(self._mul)
+        self.sqr = jax.jit(self._sqr)
+        self.inv = jax.jit(self._inv)
+        self.batch_inv = jax.jit(self._batch_inv, static_argnames=("axis",))
+        self.mul_small = jax.jit(self._mul_small, static_argnames=("k",))
+        self.to_mont = jax.jit(self._to_mont)
+        self.from_mont = jax.jit(self._from_mont)
+        self.gt_half = jax.jit(self._gt_half)
+
+    def _bits(self, e: int) -> np.ndarray:
+        return np.array([(e >> i) & 1 for i in range(e.bit_length())], dtype=np.uint32)
+
+    def __repr__(self):
+        return f"FieldParams({self.name}, L={self.L})"
+
+    # ---------------- host codecs ----------------
+
+    def from_int(self, x) -> np.ndarray:
+        """Python int or list of ints -> canonical limb array (host side)."""
+        if isinstance(x, (list, tuple)):
+            return np.stack([int_to_limbs(v % self.modulus, self.L) for v in x])
+        return int_to_limbs(x % self.modulus, self.L)
+
+    def to_int(self, limbs):
+        """Limb array -> python int or list of ints (host side)."""
+        a = np.asarray(limbs)
+        if a.ndim == 1:
+            return limbs_to_int(a)
+        flat = a.reshape(-1, self.L)
+        out = [limbs_to_int(row) for row in flat]
+        return np.array(out, dtype=object).reshape(a.shape[:-1]).tolist() if a.ndim > 2 else out
+
+    # ---------------- carry / compare primitives ----------------
+
+    def _carry_sweep(self, x):
+        """Canonicalize limbs to base 2^16. x: (..., N) uint32 with limb
+        values < 2^23.  Returns (canonical, carry_out)."""
+        xm = jnp.moveaxis(x, -1, 0)
+        init = jnp.zeros(x.shape[:-1], jnp.uint32)
+
+        def step(c, xi):
+            t = xi + c
+            return t >> B, t & MASK
+
+        cout, ym = lax.scan(step, init, xm)
+        return jnp.moveaxis(ym, 0, -1), cout
+
+    def _sub_sweep(self, a, b):
+        """a - b over limbs; returns (diff mod 2^(16N), borrow_out in {0,1})."""
+        am = jnp.moveaxis(a, -1, 0)
+        bm = jnp.moveaxis(jnp.broadcast_to(b, a.shape), -1, 0)
+        init = jnp.zeros(a.shape[:-1], jnp.uint32)
+
+        def step(borrow, ab):
+            ai, bi = ab
+            t = ai + (MASK + 1) - bi - borrow
+            return 1 - (t >> B), t & MASK
+
+        bout, ym = lax.scan(step, init, (am, bm))
+        return jnp.moveaxis(ym, 0, -1), bout
+
+    def _cond_sub_mod(self, limbs, carry):
+        """Reduce a value in [0, 2p) given as (carry, limbs) to [0, p)."""
+        diff, borrow = self._sub_sweep(limbs, jnp.asarray(self.mod_limbs))
+        ge = (carry > 0) | (borrow == 0)
+        return jnp.where(ge[..., None], diff, limbs)
+
+    # ---------------- public field ops (all jit-safe, batched) ----------------
+
+    def _add(self, a, b):
+        s, c = self._carry_sweep(a + b)
+        return self._cond_sub_mod(s, c)
+
+    def _sub(self, a, b):
+        d, borrow = self._sub_sweep(a, b)
+        dp, _ = self._carry_sweep(d + jnp.asarray(self.mod_limbs))
+        return jnp.where((borrow > 0)[..., None], dp, d)
+
+    def _neg(self, a):
+        return self._sub(jnp.zeros_like(a), a)
+
+    def _double(self, a):
+        return self._add(a, a)
+
+    def _mul(self, a, b):
+        """Montgomery product  a * b * R^-1 mod p  (CIOS product-scan)."""
+        L = self.L
+        a = jnp.asarray(a, jnp.uint32)
+        b = jnp.asarray(b, jnp.uint32)
+        o = a[..., :, None] * b[..., None, :]  # (..., L, L), each < 2^32
+        lo = o & MASK
+        hi = o >> B
+        bshape = o.shape[:-2]
+        cols = jnp.zeros(bshape + (2 * L,), jnp.uint32)
+        pad0 = [(0, 0)] * len(bshape)
+        for i in range(L):
+            cols = cols + jnp.pad(lo[..., i, :], pad0 + [(i, L - i)])
+            cols = cols + jnp.pad(hi[..., i, :], pad0 + [(i + 1, L - i - 1)])
+        t, _ = self._carry_sweep(cols)  # full 2L-limb product, canonical
+
+        # Unrolled REDC: for each low limb, add m*p so it zeroes, push carry.
+        p_limbs = jnp.asarray(self.mod_limbs)
+        np_ = jnp.uint32(self.n_prime)
+        for i in range(L):
+            m = ((t[..., i] & MASK) * np_) & MASK
+            prod = m[..., None] * p_limbs  # (..., L)
+            plo = prod & MASK
+            phi = prod >> B
+            t = t + jnp.pad(plo, pad0 + [(i, L - i)])
+            t = t + jnp.pad(phi, pad0 + [(i + 1, L - i - 1)])
+            carry = t[..., i] >> B
+            t = t + jnp.pad(carry[..., None], pad0 + [(i + 1, 2 * L - i - 2)])
+        res, c = self._carry_sweep(t[..., L:])
+        return self._cond_sub_mod(res, c)
+
+    def _sqr(self, a):
+        return self._mul(a, a)
+
+    def _mul_small(self, a, k: int):
+        """a * k for a tiny static non-negative int k, via addition chain."""
+        assert 0 <= k
+        if k == 0:
+            return jnp.zeros_like(a)
+        result = None
+        doubled = a
+        kk = k
+        while kk:
+            if kk & 1:
+                result = doubled if result is None else self._add(result, doubled)
+            kk >>= 1
+            if kk:
+                doubled = self._add(doubled, doubled)
+        return result
+
+    def pow_bits(self, a, bits: np.ndarray):
+        """a ** e where e's LSB-first bit table `bits` is a static constant.
+        Runs as one fori_loop (MSB->LSB square-and-multiply with select)."""
+        nb = len(bits)
+        bits_arr = jnp.asarray(bits[::-1].copy())  # MSB-first
+        one = jnp.broadcast_to(jnp.asarray(self.one_mont), a.shape)
+
+        def body(i, acc):
+            acc = self._mul(acc, acc)
+            acc_m = self._mul(acc, a)
+            return jnp.where(bits_arr[i] == 1, acc_m, acc)  # scalar cond broadcasts
+
+        return lax.fori_loop(0, nb, body, one)
+
+    def pow_int(self, a, e: int):
+        return self.pow_bits(a, np.array([(e >> i) & 1 for i in range(max(e.bit_length(), 1))], dtype=np.uint32))
+
+    def _inv(self, a):
+        """Fermat inversion a^(p-2). inv(0) = 0 by that convention."""
+        return self.pow_bits(a, self.inv_exp_bits)
+
+    def _batch_inv(self, a, axis: int = 0):
+        """Montgomery-trick batched inversion along `axis` (log-depth scans).
+        Zero elements map to zero (they are masked to one internally)."""
+        a = jnp.moveaxis(a, axis, 0)
+        is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+        one = jnp.broadcast_to(jnp.asarray(self.one_mont), a.shape)
+        x = jnp.where(is_zero, one, a)
+        prefix = lax.associative_scan(self._mul, x, axis=0)
+        total_inv = self._inv(prefix[-1])
+        suffix = lax.associative_scan(self._mul, x[::-1], axis=0)[::-1]
+        n = a.shape[0]
+        # inv(x_i) = prefix[i-1] * suffix[i+1] * total_inv
+        pre = jnp.concatenate([one[:1], prefix[:-1]], axis=0)
+        suf = jnp.concatenate([suffix[1:], one[:1]], axis=0)
+        out = self._mul(self._mul(pre, suf), jnp.broadcast_to(total_inv, a.shape))
+        out = jnp.where(is_zero, jnp.zeros_like(out), out)
+        return jnp.moveaxis(out, 0, axis)
+
+    # ---------------- predicates / conversions ----------------
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=-1)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def select(self, mask, a, b):
+        """where(mask, a, b) broadcasting the mask over the limb axis."""
+        return jnp.where(mask[..., None], a, b)
+
+    def _to_mont(self, a):
+        return self._mul(a, jnp.asarray(self.r2))
+
+    def _from_mont(self, a):
+        return self._mul(a, jnp.asarray(self.one_raw))
+
+    def _gt_half(self, a):
+        """canonical(a) > (p-1)/2  — the compressed-serialization sign bit."""
+        half = jnp.asarray(int_to_limbs((self.modulus - 1) // 2, self.L))
+        _, borrow = self._sub_sweep(jnp.broadcast_to(half, a.shape), a)
+        return borrow > 0  # half - a borrows  <=>  a > half
+
+
+FP = FieldParams("Fp", P_MOD, 24)
+FR = FieldParams("Fr", R_MOD, 16)
