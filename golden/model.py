@@ -420,7 +420,10 @@ def _jac_neg(p, fzero, fone):
 
 
 def _jac_scalar_mul(p, k: int, fzero, fone):
-    k %= R
+    # NB: k is deliberately NOT reduced mod r — subgroup checks multiply by
+    # r itself and must not short-circuit (a k%r here once made the golden
+    # subgroup check vacuously true).
+    assert k >= 0
     acc = (fone, fone, fzero)
     if k == 0:
         return acc

@@ -1,0 +1,97 @@
+"""G1: E(Fp) with y^2 = x^3 + 4  (SURVEY.md component 6).
+
+Device arithmetic comes from the generic complete-projective CurveOps;
+this module adds the constants and the host-side ZCash compressed codec
+(48-byte, flag bits 0x80/0x40/0x20).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpukzg.field.mont import FP, FR, P_MOD
+from tpukzg.curve.weierstrass import CurveOps
+
+G1_X = 0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB
+G1_Y = 0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1
+
+_gen_x = np.asarray(FP.to_mont(FP.from_int(G1_X)))
+_gen_y = np.asarray(FP.to_mont(FP.from_int(G1_Y)))
+
+G1 = CurveOps(
+    "G1",
+    FP,
+    b3_mul=lambda x: FP.mul_small(x, 12),  # 3b = 12
+    gen_affine_np=(_gen_x, _gen_y),
+    order_bits=FR._bits(FR.modulus),
+)
+
+_SIGN_THRESHOLD = (P_MOD - 1) // 2
+
+
+def _fp_sqrt_int(a: int):
+    if a == 0:
+        return 0
+    s = pow(a, (P_MOD + 1) // 4, P_MOD)
+    return s if (s * s) % P_MOD == a % P_MOD else None
+
+
+def compress(x_int: int, y_int: int, is_inf: bool) -> bytes:
+    """Affine ints -> 48-byte compressed encoding (host side)."""
+    if is_inf:
+        return bytes([0xC0]) + bytes(47)
+    flags = 0x80 | (0x20 if y_int > _SIGN_THRESHOLD else 0)
+    b = x_int.to_bytes(48, "big")
+    return bytes([b[0] | flags]) + b[1:]
+
+
+def decompress(data: bytes):
+    """48 bytes -> (x_int, y_int, is_inf); raises ValueError on invalid
+    encodings.  Subgroup membership is NOT checked here — run the batched
+    device-side G1.in_subgroup on the deserialized points."""
+    if len(data) != 48:
+        raise ValueError("G1 compressed point must be 48 bytes")
+    flags = data[0] & 0xE0
+    if not (flags & 0x80):
+        raise ValueError("uncompressed G1 not supported")
+    if flags & 0x40:
+        if (data[0] & 0x1F) or any(data[1:]) or (flags & 0x20):
+            raise ValueError("invalid G1 infinity encoding")
+        return 0, 0, True
+    x = int.from_bytes(bytes([data[0] & 0x1F]) + data[1:], "big")
+    if x >= P_MOD:
+        raise ValueError("G1 x out of range")
+    y = _fp_sqrt_int((x * x * x + 4) % P_MOD)
+    if y is None:
+        raise ValueError("G1 x not on curve")
+    if (y > _SIGN_THRESHOLD) != bool(flags & 0x20):
+        y = P_MOD - y
+    return x, y, False
+
+
+def point_from_ints(x: int, y: int, is_inf: bool = False):
+    """Host ints -> device projective point (Montgomery limbs)."""
+    if is_inf:
+        return tuple(np.asarray(c) for c in G1.inf_np)
+    return (np.asarray(FP.to_mont(FP.from_int(x))),
+            np.asarray(FP.to_mont(FP.from_int(y))),
+            np.asarray(FP.one_mont))
+
+
+def points_from_ints(xs, ys, infs):
+    """Lists of host ints -> batched device point (N leading axis)."""
+    pts = [point_from_ints(x, y, i) for x, y, i in zip(xs, ys, infs)]
+    return tuple(np.stack([p[i] for p in pts]) for i in range(3))
+
+
+def point_to_ints(p):
+    """Device point -> (x_int, y_int, is_inf) via normalize (host side)."""
+    x, y, inf = G1.normalize(p)
+    xi = FP.to_int(np.asarray(FP.from_mont(x)))
+    yi = FP.to_int(np.asarray(FP.from_mont(y)))
+    return xi, yi, np.asarray(inf)
+
+
+def compress_point(p) -> bytes:
+    xi, yi, inf = point_to_ints(p)
+    return compress(xi, yi, bool(inf))

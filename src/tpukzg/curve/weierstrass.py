@@ -1,0 +1,229 @@
+"""Branch-free complete projective group law for y^2 = x^3 + b, a = 0.
+
+Generic over the uniform field-ops interface (FieldParams / Fp2Ops), so G1
+and G2 share one implementation (SURVEY.md components 6-8).
+
+Formulas: Renes-Costello-Batina 2015 complete addition (Alg. 7) and
+doubling (Alg. 9) for a = 0 — COMPLETE: they handle P = Q, P = -Q and the
+point at infinity (0 : 1 : 0) uniformly, with no data-dependent control
+flow.  That is exactly what the TPU wants: every lane of a batch executes
+the same straight-line code regardless of its point values (SURVEY.md
+section 7 "branchless select-based handling").
+
+Points are (X, Y, Z) homogeneous-projective pytree tuples of field arrays;
+batch axes lead.  Independent field muls inside one formula are stacked
+into single wide mul calls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class CurveOps:
+    def __init__(self, name: str, field, b3_mul, gen_affine_np, order_bits: np.ndarray):
+        """
+        field       : uniform field-ops object (add/sub/mul/... + suffix_ndim)
+        b3_mul      : x -> 3*b*x   (cheap constant multiple in `field`)
+        gen_affine_np: (gen_x, gen_y) np limb arrays (Montgomery form)
+        order_bits  : LSB-first bit table of the group order r
+        """
+        self.name = name
+        self.F = field
+        self.b3_mul = b3_mul
+        self._order_bits = order_bits
+        one = np.asarray(field.one_np)
+        zero = np.asarray(field.zero_np)
+        self.inf_np = (zero, one, zero)
+        self.gen_np = (np.asarray(gen_affine_np[0]), np.asarray(gen_affine_np[1]), one)
+
+        self.add = jax.jit(self._add)
+        self.double = jax.jit(self._double)
+        self.neg = jax.jit(self._neg)
+        self.scalar_mul = jax.jit(self._scalar_mul)
+        self.mul_int = jax.jit(self._mul_int, static_argnames=("k",))
+        self.msm_naive = jax.jit(self._msm_naive)
+        self.reduce_sum = jax.jit(self._reduce_sum)
+        self.normalize = jax.jit(self._normalize)
+        self.in_subgroup = jax.jit(self._in_subgroup)
+        self.is_on_curve = jax.jit(self._is_on_curve)
+        self.eq = jax.jit(self._eq)
+        self.is_inf = jax.jit(self._is_inf)
+
+    # ---- point constructors ----
+
+    def inf(self, batch_shape=()):
+        return tuple(jnp.broadcast_to(c, batch_shape + c.shape) for c in self.inf_np)
+
+    def gen(self, batch_shape=()):
+        return tuple(jnp.broadcast_to(c, batch_shape + c.shape) for c in self.gen_np)
+
+    # ---- batched-mul helper: one wide field mul for independent products ----
+
+    def _bmul(self, pairs):
+        ax = -(self.F.suffix_ndim + 1)
+        lhs = jnp.stack([a for a, _ in pairs], axis=ax)
+        rhs = jnp.stack([b for _, b in pairs], axis=ax)
+        prod = self.F.mul(lhs, rhs)
+        return [jnp.take(prod, i, axis=ax) for i in range(len(pairs))]
+
+    # ---- group law ----
+
+    def _add(self, p, q):
+        """RCB15 Algorithm 7 (a = 0): 12M + 2 m_b3, complete."""
+        F = self.F
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        t0, t1, t2, t3, t4, t5 = self._bmul([
+            (X1, X2), (Y1, Y2), (Z1, Z2),
+            (F.add(X1, Y1), F.add(X2, Y2)),
+            (F.add(Y1, Z1), F.add(Y2, Z2)),
+            (F.add(X1, Z1), F.add(X2, Z2)),
+        ])
+        t3 = F.sub(t3, F.add(t0, t1))   # X1Y2 + X2Y1
+        t4 = F.sub(t4, F.add(t1, t2))   # Y1Z2 + Y2Z1
+        t5 = F.sub(t5, F.add(t0, t2))   # X1Z2 + X2Z1
+        t0 = F.add(F.add(t0, t0), t0)   # 3 X1X2
+        t2 = self.b3_mul(t2)            # 3b Z1Z2
+        z3 = F.add(t1, t2)              # Y1Y2 + 3bZ1Z2
+        t1 = F.sub(t1, t2)              # Y1Y2 - 3bZ1Z2
+        y3 = self.b3_mul(t5)            # 3b (X1Z2 + X2Z1)
+        m0, m1, m2, m3, m4, m5 = self._bmul([
+            (t4, y3), (t3, t1), (y3, t0), (t1, z3), (t0, t3), (z3, t4),
+        ])
+        X3 = F.sub(m1, m0)
+        Y3 = F.add(m3, m2)
+        Z3 = F.add(m5, m4)
+        return (X3, Y3, Z3)
+
+    def _double(self, p):
+        """RCB15 Algorithm 9 (a = 0): 6M + 2S + 1 m_b3, complete."""
+        F = self.F
+        X, Y, Z = p
+        t0, t1, t2, t3 = self._bmul([(Y, Y), (Y, Z), (Z, Z), (X, Y)])
+        z8 = F.add(t0, t0)
+        z8 = F.add(z8, z8)
+        z8 = F.add(z8, z8)              # 8 Y^2
+        t2 = self.b3_mul(t2)            # 3b Z^2
+        t6 = F.sub(t0, F.add(F.add(t2, t2), t2))  # Y^2 - 9bZ^2
+        y3t = F.add(t0, t2)             # Y^2 + 3bZ^2
+        m0, m1, m2, m3 = self._bmul([(t2, z8), (t1, z8), (t6, y3t), (t6, t3)])
+        X3 = F.add(m3, m3)
+        Y3 = F.add(m2, m0)
+        Z3 = m1
+        return (X3, Y3, Z3)
+
+    def _neg(self, p):
+        X, Y, Z = p
+        return (X, self.F.neg(Y), Z)
+
+    def select(self, mask, p, q):
+        F = self.F
+        return tuple(F.select(mask, a, b) for a, b in zip(p, q))
+
+    # ---- scalar multiplication ----
+
+    def _scalar_mul(self, p, k_limbs):
+        """[k] P, k given as (..., 16) canonical (non-Montgomery) Fr limbs.
+        Fixed 256-iteration MSB-first double-and-add with branchless select;
+        batch axes of p and k broadcast together."""
+        bits = ((k_limbs[..., :, None] >> jnp.arange(16, dtype=jnp.uint32)) & 1)
+        bits = bits.reshape(k_limbs.shape[:-1] + (256,))  # LSB-first
+        batch = jnp.broadcast_shapes(k_limbs.shape[:-1],
+                                     p[0].shape[: p[0].ndim - self.F.suffix_ndim])
+        acc0 = self.inf(batch)
+        p = tuple(jnp.broadcast_to(c, batch + c.shape[c.ndim - self.F.suffix_ndim:]) for c in p)
+
+        def body(i, acc):
+            acc = self._double(acc)
+            added = self._add(acc, p)
+            bit = jnp.take(bits, 255 - i, axis=-1)
+            return self.select(bit == 1, added, acc)
+
+        return lax.fori_loop(0, 256, body, acc0)
+
+    def _mul_int(self, p, k: int):
+        """[k] P for a small static int k (unrolled double-and-add)."""
+        acc = None
+        doubled = p
+        while k:
+            if k & 1:
+                acc = doubled if acc is None else self._add(acc, doubled)
+            k >>= 1
+            if k:
+                doubled = self._double(doubled)
+        if acc is None:
+            batch = p[0].shape[: p[0].ndim - self.F.suffix_ndim]
+            return self.inf(batch)
+        return acc
+
+    # ---- reductions / MSM ----
+
+    def _reduce_sum(self, pts, axis: int = 0):
+        """Tree-reduce a batch of points along `axis` with the complete add."""
+        pts = tuple(jnp.moveaxis(c, axis, 0) for c in pts)
+        n = pts[0].shape[0]
+        while n > 1:
+            if n % 2 == 1:
+                inf1 = self.inf((1,) + pts[0].shape[1: pts[0].ndim - self.F.suffix_ndim])
+                pts = tuple(jnp.concatenate([c, i], axis=0) for c, i in zip(pts, inf1))
+                n += 1
+            half = n // 2
+            a = tuple(c[:half] for c in pts)
+            b = tuple(c[half:] for c in pts)
+            pts = self._add(a, b)
+            n = half
+        return tuple(c[0] for c in pts)
+
+    def _msm_naive(self, pts, scalars):
+        """sum_i [k_i] P_i — batched double-and-add then tree reduction.
+        Correctness baseline (SURVEY.md M2); Pippenger supersedes it."""
+        prods = self._scalar_mul(pts, scalars)
+        return self._reduce_sum(prods, axis=0)
+
+    # ---- predicates / normalization ----
+
+    def _is_inf(self, p):
+        return self.F.is_zero(p[2])
+
+    def _eq(self, p, q):
+        """Projective equality: cross-multiplied, infinity-aware."""
+        F = self.F
+        a, b, c, d = self._bmul([(p[0], q[2]), (q[0], p[2]), (p[1], q[2]), (q[1], p[2])])
+        same = F.eq(a, b) & F.eq(c, d)
+        pi, qi = self._is_inf(p), self._is_inf(q)
+        return jnp.where(pi | qi, pi == qi, same)
+
+    def _normalize(self, p):
+        """-> (x_affine, y_affine, is_inf).  Infinity maps to (0, 0, True)."""
+        F = self.F
+        zi = F.inv(p[2])  # inv(0) = 0 => infinity lands on (0, 0)
+        x, y = self._bmul([(p[0], zi), (p[1], zi)])
+        return x, y, self._is_inf(p)
+
+    def _is_on_curve(self, p):
+        """Y^2 Z == X^3 + 3b/3 Z^3 … i.e. Y^2 Z == X^3 + b Z^3 (b = b3/3)."""
+        F = self.F
+        y2, x2, z2 = self._bmul([(p[1], p[1]), (p[0], p[0]), (p[2], p[2])])
+        y2z, x3, z3 = self._bmul([(y2, p[2]), (x2, p[0]), (z2, p[2])])
+        # b Z^3 = b3_mul(Z^3) / 3: avoid division — compare 3 Y^2 Z == 3 X^3 + b3 Z^3
+        lhs = F.add(F.add(y2z, y2z), y2z)
+        rhs = F.add(F.add(F.add(x3, x3), x3), self.b3_mul(z3))
+        return F.eq(lhs, rhs) | self._is_inf(p)
+
+    def _in_subgroup(self, p):
+        """[r] P == inf via the static bit table of r."""
+        bits = jnp.asarray(self._order_bits[::-1].copy())
+        batch = p[0].shape[: p[0].ndim - self.F.suffix_ndim]
+        acc0 = self.inf(batch)
+
+        def body(i, acc):
+            acc = self._double(acc)
+            added = self._add(acc, p)
+            return self.select(bits[i] == 1, added, acc)
+
+        res = lax.fori_loop(0, len(self._order_bits), body, acc0)
+        return self._is_inf(res) & self._is_on_curve(p)

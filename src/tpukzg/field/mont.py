@@ -56,6 +56,8 @@ def limbs_to_int(limbs) -> int:
 class FieldParams:
     """Static parameters of one prime field in the 16-bit-limb layout."""
 
+    suffix_ndim = 1  # uniform field-ops interface (see field/tower.py)
+
     def __init__(self, name: str, modulus: int, n_limbs: int):
         self.name = name
         self.modulus = modulus
@@ -68,6 +70,9 @@ class FieldParams:
         self.r2 = int_to_limbs((self.R * self.R) % modulus, n_limbs)
         self.zero = np.zeros(n_limbs, dtype=np.uint32)
         self.one_raw = int_to_limbs(1, n_limbs)
+        # Uniform field-ops aliases (tower classes use one_np/zero_np).
+        self.one_np = self.one_mont
+        self.zero_np = self.zero
         # Bit tables (LSB-first) for fixed-exponent pow chains.
         self.inv_exp_bits = self._bits(modulus - 2)
         # Per-instance jitted entry points: whole field ops compile once per

@@ -23,6 +23,16 @@ for p in (REPO, os.path.join(REPO, "src")):
 
 import random  # noqa: E402
 
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS=cpu; pin the default device to
+# the (8-virtual-device) CPU backend explicitly so tests never touch the
+# real chip and multi-device sharding tests have a mesh to run on.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 import pytest  # noqa: E402
 
 
