@@ -130,9 +130,10 @@ class FieldParams:
 
     def _sub_sweep(self, a, b):
         """a - b over limbs; returns (diff mod 2^(16N), borrow_out in {0,1})."""
-        am = jnp.moveaxis(a, -1, 0)
-        bm = jnp.moveaxis(jnp.broadcast_to(b, a.shape), -1, 0)
-        init = jnp.zeros(a.shape[:-1], jnp.uint32)
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        am = jnp.moveaxis(jnp.broadcast_to(a, shape), -1, 0)
+        bm = jnp.moveaxis(jnp.broadcast_to(b, shape), -1, 0)
+        init = jnp.zeros(shape[:-1], jnp.uint32)
 
         def step(borrow, ab):
             ai, bi = ab
@@ -253,6 +254,19 @@ class FieldParams:
         out = self._mul(self._mul(pre, suf), jnp.broadcast_to(total_inv, a.shape))
         out = jnp.where(is_zero, jnp.zeros_like(out), out)
         return jnp.moveaxis(out, 0, axis)
+
+    def sum_along(self, a, axis: int = 0):
+        """Modular sum reduction along `axis` (log-depth fold of _add)."""
+        a = jnp.moveaxis(a, axis, 0)
+        n = a.shape[0]
+        while n > 1:
+            if n % 2 == 1:
+                a = jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
+                n += 1
+            half = n // 2
+            a = self._add(a[:half], a[half:])
+            n = half
+        return a[0]
 
     # ---------------- predicates / conversions ----------------
 

@@ -1,0 +1,114 @@
+"""Radix-2 NTT / iNTT over Fr (SURVEY.md component 11).
+
+TPU-shaped design: bit-reversal as one static gather, then log2(n) fully
+vectorized butterfly stages.  Each stage is a reshape to (n/len, len), one
+batched Montgomery mul by a precomputed per-stage twiddle table, and an
+add/sub — no data-dependent control flow, static shapes throughout, so XLA
+fuses each stage into a couple of VPU loops.
+
+Twiddle tables are host-precomputed in Montgomery form from
+omega_n = omega_{2^32}^(2^32/n)  (SURVEY.md section 2.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpukzg.field.mont import FR, R_MOD
+
+TWO_ADICITY = 32
+OMEGA_2_32 = 0x16A2A19EDFE81F20D09B681922C813B4B63683508C2280B93829971F439F0D2B
+
+
+def omega_for(n: int) -> int:
+    assert n & (n - 1) == 0 and 0 < n <= (1 << TWO_ADICITY)
+    w = OMEGA_2_32
+    m = 1 << TWO_ADICITY
+    while m > n:
+        w = (w * w) % R_MOD
+        m >>= 1
+    return w
+
+
+def bit_reverse_indices(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    out = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        out |= ((idx >> b) & 1) << (bits - 1 - b)
+    return out
+
+
+class NttPlan:
+    """Precomputed NTT over the size-n subgroup of Fr (n a power of two).
+
+    Inputs/outputs are (..., n, L) Montgomery-form Fr limb arrays with the
+    polynomial axis second-to-last.  `ntt` maps coefficients -> evaluations
+    at [w^0..w^(n-1)] (natural order); `intt` inverts.
+    """
+
+    def __init__(self, n: int):
+        assert n & (n - 1) == 0 and n >= 2
+        self.n = n
+        self.omega = omega_for(n)
+        self.log_n = n.bit_length() - 1
+        # roots (natural order), Montgomery form: (n, L)
+        r = []
+        w = 1
+        for _ in range(n):
+            r.append(w)
+            w = (w * self.omega) % R_MOD
+        self.roots_int = r
+        self.roots = np.asarray(FR.to_mont(FR.from_int(r)))
+        self.brp = bit_reverse_indices(n)
+        # per-stage twiddles (Montgomery): stage s has block length 2^(s+1)
+        # and uses w_n^(j * n / 2^(s+1)) for j < 2^s
+        self._tw_fwd = []
+        self._tw_inv = []
+        w_inv = pow(self.omega, R_MOD - 2, R_MOD)
+        for s in range(self.log_n):
+            half = 1 << s
+            step = n // (half * 2)
+            tf = [pow(self.omega, j * step, R_MOD) for j in range(half)]
+            ti = [pow(w_inv, j * step, R_MOD) for j in range(half)]
+            self._tw_fwd.append(np.asarray(FR.to_mont(FR.from_int(tf)) if half > 1
+                                           else FR.to_mont(FR.from_int(tf[0]))[None]))
+            self._tw_inv.append(np.asarray(FR.to_mont(FR.from_int(ti)) if half > 1
+                                           else FR.to_mont(FR.from_int(ti[0]))[None]))
+        self.n_inv = np.asarray(FR.to_mont(FR.from_int(pow(n, R_MOD - 2, R_MOD))))
+        self.ntt = jax.jit(self._ntt)
+        self.intt = jax.jit(self._intt)
+
+    def _butterflies(self, a, twiddles):
+        """a: (..., n, L) bit-reversed input -> natural-order output."""
+        n, L = self.n, a.shape[-1]
+        batch = a.shape[:-2]
+        for s in range(self.log_n):
+            half = 1 << s
+            blocks = n // (2 * half)
+            x = a.reshape(batch + (blocks, 2, half, L))
+            u = x[..., 0, :, :]
+            v = FR.mul(x[..., 1, :, :], jnp.asarray(twiddles[s]))
+            out = jnp.stack([FR.add(u, v), FR.sub(u, v)], axis=-3)
+            a = out.reshape(batch + (n, L))
+        return a
+
+    def _ntt(self, coeffs):
+        a = jnp.take(coeffs, jnp.asarray(self.brp), axis=-2)
+        return self._butterflies(a, self._tw_fwd)
+
+    def _intt(self, evals):
+        a = jnp.take(evals, jnp.asarray(self.brp), axis=-2)
+        a = self._butterflies(a, self._tw_inv)
+        return FR.mul(a, jnp.asarray(self.n_inv))
+
+
+_plan_cache: dict[int, NttPlan] = {}
+
+
+def get_plan(n: int) -> NttPlan:
+    if n not in _plan_cache:
+        _plan_cache[n] = NttPlan(n)
+    return _plan_cache[n]
