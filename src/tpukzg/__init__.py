@@ -14,6 +14,9 @@ __version__ = "0.1.0"
 def __getattr__(name):
     """Lazily expose the c-kzg-4844-shaped public API (SURVEY.md comp. 26)
     without importing JAX-heavy modules at package import time."""
-    from tpukzg import api
+    if name.startswith("_"):
+        raise AttributeError(name)
+    import importlib
 
+    api = importlib.import_module("tpukzg.api")
     return getattr(api, name)

@@ -71,3 +71,73 @@ def compress(x0: int, x1: int, y0: int, y1: int, is_inf: bool) -> bytes:
 def compress_point(p) -> bytes:
     (x0, x1), (y0, y1), inf = point_to_ints(p)
     return compress(x0, x1, y0, y1, bool(inf))
+
+
+# ---------------------------------------------------------------------------
+# Host-side decompression (pure-int; mirrors golden/model.py:606 convention)
+# ---------------------------------------------------------------------------
+
+
+def _fp_sqrt_int(a: int):
+    if a == 0:
+        return 0
+    s = pow(a, (P_MOD + 1) // 4, P_MOD)
+    return s if (s * s) % P_MOD == a % P_MOD else None
+
+
+def _fp2_sqrt_ints(c0: int, c1: int):
+    """sqrt in Fp2 via the norm trick (p = 3 mod 4); None if non-residue."""
+    if c0 == 0 and c1 == 0:
+        return 0, 0
+    if c1 == 0:
+        s = _fp_sqrt_int(c0)
+        if s is not None:
+            return s, 0
+        return 0, _fp_sqrt_int((-c0) % P_MOD)
+    n = (c0 * c0 + c1 * c1) % P_MOD
+    s = _fp_sqrt_int(n)
+    if s is None:
+        return None
+    inv2 = pow(2, -1, P_MOD)
+    x0 = _fp_sqrt_int((c0 + s) * inv2 % P_MOD)
+    if x0 is None:
+        x0 = _fp_sqrt_int((c0 - s) * inv2 % P_MOD)
+        if x0 is None:
+            return None
+    x1 = c1 * pow(2 * x0 % P_MOD, -1, P_MOD) % P_MOD
+    if ((x0 * x0 - x1 * x1) % P_MOD, 2 * x0 * x1 % P_MOD) != (c0 % P_MOD, c1 % P_MOD):
+        return None
+    return x0, x1
+
+
+def decompress(data: bytes):
+    """96 bytes -> (x0, x1, y0, y1, is_inf) host ints; ValueError on invalid
+    encodings.  Subgroup membership is checked separately on device
+    (G2.in_subgroup), same split as curve/g1.py decompress."""
+    if len(data) != 96:
+        raise ValueError("G2 compressed point must be 96 bytes")
+    flags = data[0] & 0xE0
+    if not (flags & 0x80):
+        raise ValueError("uncompressed G2 not supported")
+    if flags & 0x40:
+        if (data[0] & 0x1F) or any(data[1:]) or (flags & 0x20):
+            raise ValueError("invalid G2 infinity encoding")
+        return 0, 0, 0, 0, True
+    x1 = int.from_bytes(bytes([data[0] & 0x1F]) + data[1:48], "big")
+    x0 = int.from_bytes(data[48:], "big")
+    if x0 >= P_MOD or x1 >= P_MOD:
+        raise ValueError("G2 x out of range")
+    # y^2 = x^3 + 4(1+u)
+    a0 = (x0 * x0 - x1 * x1) % P_MOD
+    a1 = 2 * x0 * x1 % P_MOD
+    c0 = (a0 * x0 - a1 * x1 + 4) % P_MOD
+    c1 = (a0 * x1 + a1 * x0 + 4) % P_MOD
+    y = _fp2_sqrt_ints(c0, c1)
+    if y is None:
+        raise ValueError("G2 x not on curve")
+    y0, y1 = y
+    is_large = ((y1, y0) > ((P_MOD - y1) % P_MOD, (P_MOD - y0) % P_MOD)
+                if (y0, y1) != (0, 0) else False)
+    if is_large != bool(flags & 0x20):
+        y0, y1 = (P_MOD - y0) % P_MOD, (P_MOD - y1) % P_MOD
+    return x0, x1, y0, y1, False

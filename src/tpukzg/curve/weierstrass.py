@@ -46,7 +46,7 @@ class CurveOps:
         self.scalar_mul = jax.jit(self._scalar_mul)
         self.mul_int = jax.jit(self._mul_int, static_argnames=("k",))
         self.msm_naive = jax.jit(self._msm_naive)
-        self.reduce_sum = jax.jit(self._reduce_sum)
+        self.reduce_sum = jax.jit(self._reduce_sum, static_argnames=("axis",))
         self.normalize = jax.jit(self._normalize)
         self.in_subgroup = jax.jit(self._in_subgroup)
         self.is_on_curve = jax.jit(self._is_on_curve)

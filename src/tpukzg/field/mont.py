@@ -65,6 +65,9 @@ class FieldParams:
         self.R = 1 << (B * n_limbs)
         assert self.R > modulus > 0
         self.n_prime = (-pow(modulus, -1, 1 << B)) % (1 << B)
+        # Full-precision mu = -p^-1 mod R for the separated Montgomery
+        # reduction (see _mul): m = (T mod R) * mu mod R; t = (T + m*p)/R.
+        self.mu_limbs = int_to_limbs((-pow(modulus, -1, self.R)) % self.R, n_limbs)
         self.mod_limbs = int_to_limbs(modulus, n_limbs)
         self.one_mont = int_to_limbs(self.R % modulus, n_limbs)
         self.r2 = int_to_limbs((self.R * self.R) % modulus, n_limbs)
@@ -166,36 +169,51 @@ class FieldParams:
     def _double(self, a):
         return self._add(a, a)
 
-    def _mul(self, a, b):
-        """Montgomery product  a * b * R^-1 mod p  (CIOS product-scan)."""
+    def _prod_cols(self, a, b, n_cols: int):
+        """Column sums of the schoolbook product a*b, columns [0, n_cols).
+
+        Products are split lo/hi BEFORE accumulation so every column sum
+        stays < 2L * 2^16 < 2^22 (fits u32; see module docstring bounds).
+        """
         L = self.L
-        a = jnp.asarray(a, jnp.uint32)
-        b = jnp.asarray(b, jnp.uint32)
         o = a[..., :, None] * b[..., None, :]  # (..., L, L), each < 2^32
         lo = o & MASK
         hi = o >> B
         bshape = o.shape[:-2]
-        cols = jnp.zeros(bshape + (2 * L,), jnp.uint32)
         pad0 = [(0, 0)] * len(bshape)
+        cols = jnp.zeros(bshape + (n_cols,), jnp.uint32)
         for i in range(L):
-            cols = cols + jnp.pad(lo[..., i, :], pad0 + [(i, L - i)])
-            cols = cols + jnp.pad(hi[..., i, :], pad0 + [(i + 1, L - i - 1)])
-        t, _ = self._carry_sweep(cols)  # full 2L-limb product, canonical
+            if i < n_cols:
+                w = min(L, n_cols - i)
+                cols = cols + jnp.pad(lo[..., i, :w], pad0 + [(i, n_cols - i - w)])
+            if i + 1 < n_cols:
+                w = min(L, n_cols - i - 1)
+                cols = cols + jnp.pad(hi[..., i, :w],
+                                      pad0 + [(i + 1, n_cols - i - 1 - w)])
+        return cols
 
-        # Unrolled REDC: for each low limb, add m*p so it zeroes, push carry.
-        p_limbs = jnp.asarray(self.mod_limbs)
-        np_ = jnp.uint32(self.n_prime)
-        for i in range(L):
-            m = ((t[..., i] & MASK) * np_) & MASK
-            prod = m[..., None] * p_limbs  # (..., L)
-            plo = prod & MASK
-            phi = prod >> B
-            t = t + jnp.pad(plo, pad0 + [(i, L - i)])
-            t = t + jnp.pad(phi, pad0 + [(i + 1, L - i - 1)])
-            carry = t[..., i] >> B
-            t = t + jnp.pad(carry[..., None], pad0 + [(i + 1, 2 * L - i - 2)])
-        res, c = self._carry_sweep(t[..., L:])
-        return self._cond_sub_mod(res, c)
+    def _mul(self, a, b):
+        """Montgomery product a * b * R^-1 mod p — separated reduction.
+
+        No sequential per-limb REDC: with mu = -p^-1 mod R (precomputed,
+        full precision),
+            T = a*b                  (2L limbs)
+            m = (T mod R) * mu mod R (L limbs, low half of one product)
+            t = (T + m*p) / R        (exact division: low L limbs cancel)
+        Three parallel limb convolutions + carry sweeps — a small, flat,
+        XLA-friendly graph with no loop-carried dependency except the
+        carry sweeps themselves.  t < 2p, so one conditional subtract.
+        """
+        L = self.L
+        a = jnp.asarray(a, jnp.uint32)
+        b = jnp.asarray(b, jnp.uint32)
+        t_cols = self._prod_cols(a, b, 2 * L)
+        t, _ = self._carry_sweep(t_cols)              # T canonical, < R^2
+        m_cols = self._prod_cols(t[..., :L], jnp.asarray(self.mu_limbs), L)
+        m, _ = self._carry_sweep(m_cols)              # m = T*mu mod R
+        mp_cols = self._prod_cols(m, jnp.asarray(self.mod_limbs), 2 * L)
+        s, carry = self._carry_sweep(t + mp_cols)     # T + m*p (cols < 2^23)
+        return self._cond_sub_mod(s[..., L:], carry)
 
     def _sqr(self, a):
         return self._mul(a, a)

@@ -1,0 +1,153 @@
+"""EIP-4844-shaped blob API over bytes (SURVEY.md component 19).
+
+Blobs are n x 32-byte big-endian Fr elements storing evaluations on the
+BIT-REVERSED root domain (golden/model.py:971).  This module owns the
+bytes<->limb codecs and the host-side Fiat-Shamir sequencing; all math is
+delegated to the jitted `Kzg` engine.  Batch entry points batch the device
+work across all blobs (one barycentric eval, one ladder, two pairings for
+the whole batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpukzg.field.mont import FR, R_MOD
+from tpukzg.curve import g1 as g1m
+from tpukzg.curve.g1 import G1
+from tpukzg.kzg.core import Kzg
+from tpukzg.kzg import transcript
+
+BYTES_PER_FIELD_ELEMENT = 32
+
+
+# ---------------------------------------------------------------------------
+# codecs
+# ---------------------------------------------------------------------------
+
+
+def blob_to_limbs(blob: bytes, n: int) -> np.ndarray:
+    """n*32 big-endian bytes -> (n, 16) canonical Fr limbs (vectorized);
+    raises ValueError if any element is >= r."""
+    if len(blob) != n * BYTES_PER_FIELD_ELEMENT:
+        raise ValueError(f"blob must be {n * BYTES_PER_FIELD_ELEMENT} bytes")
+    a = np.frombuffer(blob, dtype=np.uint8).reshape(n, 32)
+    limbs_be = (a[:, 0::2].astype(np.uint32) << 8) | a[:, 1::2]  # (n, 16) BE
+    r_be = np.array([(R_MOD >> (16 * (15 - i))) & 0xFFFF for i in range(16)],
+                    dtype=np.uint32)
+    # lexicographic limbs_be < r_be, vectorized
+    lt = limbs_be < r_be
+    gt = limbs_be > r_be
+    first_diff = np.argmax(lt | gt, axis=1)
+    any_diff = (lt | gt)[np.arange(n), first_diff]
+    ok = any_diff & lt[np.arange(n), first_diff]
+    if not bool(np.all(ok)):
+        raise ValueError("blob element out of Fr range")
+    return limbs_be[:, ::-1].copy()  # little-endian limb order
+
+
+def limbs_to_bytes(limbs) -> bytes:
+    """(16,) canonical Fr limbs -> 32 big-endian bytes."""
+    v = FR.to_int(np.asarray(limbs))
+    return int(v).to_bytes(32, "big")
+
+
+def fr_ints_from_limbs(limbs) -> list[int]:
+    a = np.asarray(limbs)
+    return [FR.to_int(row) for row in a.reshape(-1, 16)]
+
+
+# ---------------------------------------------------------------------------
+# blob protocol
+# ---------------------------------------------------------------------------
+
+
+class BlobKzg:
+    """Byte-level EIP-4844 surface bound to one Setup (via Kzg engine)."""
+
+    def __init__(self, kzg: Kzg):
+        self.kzg = kzg
+        self.n = kzg.n
+        self.bytes_per_blob = self.n * BYTES_PER_FIELD_ELEMENT
+        self._brp = kzg.plan.brp  # bit-reversal permutation indices
+
+    # -- helpers --
+
+    def _blob_natural_mont(self, blobs: list[bytes]) -> np.ndarray:
+        """blobs -> (k, n, 16) Montgomery evals in NATURAL domain order."""
+        lims = np.stack([blob_to_limbs(b, self.n) for b in blobs])
+        return np.asarray(FR.to_mont(lims[:, self._brp]))
+
+    def _decompress_g1_batch(self, byte_list: list[bytes], check_subgroup=True):
+        ints = [g1m.decompress(b) for b in byte_list]
+        pts = g1m.points_from_ints(*zip(*ints))
+        if check_subgroup:
+            ok = np.asarray(G1.in_subgroup(pts))
+            if not bool(np.all(ok)):
+                raise ValueError("G1 point not in subgroup")
+        return pts
+
+    # -- single-blob API --
+
+    def blob_to_kzg_commitment(self, blob: bytes) -> bytes:
+        evals = self._blob_natural_mont([blob])
+        c = self.kzg.commit(evals)
+        return g1m.compress_point(tuple(x[0] for x in c))
+
+    def compute_kzg_proof(self, blob: bytes, z_bytes: bytes):
+        """-> (proof_bytes, y_bytes)."""
+        evals = self._blob_natural_mont([blob])[0]
+        z = np.asarray(FR.to_mont(blob_to_limbs(z_bytes, 1)[0]))
+        pi, y = self.kzg.open(evals, z)
+        return g1m.compress_point(pi), limbs_to_bytes(FR.from_mont(y))
+
+    def compute_blob_kzg_proof(self, blob: bytes, commitment_bytes: bytes) -> bytes:
+        z = transcript.compute_challenge(blob, commitment_bytes, self.n)
+        proof, _ = self.compute_kzg_proof(blob, transcript.fr_to_bytes(z))
+        return proof
+
+    def verify_kzg_proof(self, commitment_bytes: bytes, z_bytes: bytes,
+                         y_bytes: bytes, proof_bytes: bytes) -> bool:
+        c = self._decompress_g1_batch([commitment_bytes])
+        pi = self._decompress_g1_batch([proof_bytes])
+        z = blob_to_limbs(z_bytes, 1)
+        y = blob_to_limbs(y_bytes, 1)
+        ok = self.kzg.verify(tuple(x[0] for x in c), z[0], y[0],
+                             tuple(x[0] for x in pi))
+        return bool(np.asarray(ok))
+
+    def verify_blob_kzg_proof(self, blob: bytes, commitment_bytes: bytes,
+                              proof_bytes: bytes) -> bool:
+        return self.verify_blob_kzg_proof_batch(
+            [blob], [commitment_bytes], [proof_bytes])
+
+    # -- the namesake batch path --
+
+    def verify_blob_kzg_proof_batch(self, blobs: list[bytes],
+                                    commitment_bytes_list: list[bytes],
+                                    proof_bytes_list: list[bytes]) -> bool:
+        """Batched device pipeline (SURVEY.md section 3.1):
+        host Fiat-Shamir -> one batched barycentric eval -> rho powers ->
+        one 3k+1-point ladder + 2 pairings."""
+        k = len(blobs)
+        assert k == len(commitment_bytes_list) == len(proof_bytes_list)
+        if k == 0:
+            return True
+        try:
+            c_pts = self._decompress_g1_batch(commitment_bytes_list)
+            pi_pts = self._decompress_g1_batch(proof_bytes_list)
+            evals = self._blob_natural_mont(blobs)               # (k, n, 16)
+        except ValueError:
+            return False
+
+        zs = [transcript.compute_challenge(blobs[i], commitment_bytes_list[i],
+                                           self.n) for i in range(k)]
+        z_can = np.asarray(FR.from_int(zs)).reshape(k, 16)
+        y_mont = self.kzg.eval_at(evals, np.asarray(FR.to_mont(z_can)))
+        y_can = np.asarray(FR.from_mont(y_mont))
+        ys = fr_ints_from_limbs(y_can)
+        _, rho_powers = transcript.compute_r_powers(
+            commitment_bytes_list, zs, ys, proof_bytes_list, self.n)
+        rho_can = np.asarray(FR.from_int(rho_powers)).reshape(k, 16)
+        ok = self.kzg.verify_batch(c_pts, z_can, y_can, pi_pts, rho_can)
+        return bool(np.asarray(ok))

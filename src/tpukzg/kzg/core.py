@@ -1,0 +1,129 @@
+"""KZG core: commit / open / verify / batch-verify (SURVEY.md comp. 18, 21).
+
+`Kzg` wraps a `Setup` and exposes jitted device-side entry points over Fr
+limb arrays and G1 point tuples.  Everything is batched and branch-free:
+
+* ``commit``      — MSM of the Lagrange SRS against evaluation-form scalars
+* ``open``        — barycentric eval + evaluation-form quotient + MSM
+* ``verify``      — e(C - [y]_1 + [z]pi, [1]_2) == e(pi, [tau]_2), with both
+                    Miller loops running on setup-time precomputed G2 lines
+* ``verify_batch``— the namesake: k openings folded by rho powers into ONE
+                    scalar-mul ladder over 3k+1 points + 2 pairings
+                    (identity verified in SURVEY.md section 0.2)
+
+Scalar-format convention: MSM/ladder scalars are CANONICAL (non-Montgomery)
+Fr limbs, field data (evals, y) is Montgomery — conversions happen inside
+the jitted graph so callers only handle one format per argument.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpukzg.field.mont import FR
+from tpukzg.curve.g1 import G1
+from tpukzg.pairing.check import pairing_check
+from tpukzg.poly.poly import barycentric_eval, eval_form_quotient
+from tpukzg.msm.pippenger import Pippenger, default_window
+from tpukzg.kzg.setup import Setup
+
+
+class Kzg:
+    def __init__(self, setup: Setup, msm_window: int | None = None):
+        self.setup = setup
+        self.n = setup.n
+        self.plan = setup.plan
+        self.pip = Pippenger(G1, window=msm_window)
+        self._c_commit = msm_window or default_window(setup.n)
+        self.commit = jax.jit(self._commit)
+        self.eval_at = jax.jit(self._eval_at)
+        self.open = jax.jit(self._open)
+        self.verify = jax.jit(self._verify)
+        self.verify_batch = jax.jit(self._verify_batch)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _msm_lagrange(self, scalars_mont):
+        """Pippenger MSM(lagrange SRS, scalars), batched over leading axes.
+
+        scalars_mont: (..., n, 16) Montgomery Fr.  Returns G1 point with
+        batch shape (...).  Leading batch axes fold into one wider MSM by
+        tiling the SRS points (each blob's n scalars meet their own copy
+        of the point axis; the bucket sort handles them jointly)."""
+        ks = FR.from_mont(scalars_mont)                      # canonical bits
+        pts = tuple(jnp.asarray(c) for c in self.setup.lagrange_g1)
+        batch = ks.shape[:-2]
+        if not batch:
+            return self.pip._msm(pts, ks, c=self._c_commit)
+        flat = int(np.prod(batch))
+        ks2 = ks.reshape((flat, self.n, 16))
+        outs = [self.pip._msm(pts, ks2[i], c=self._c_commit)
+                for i in range(flat)]
+        return tuple(
+            jnp.stack([o[i] for o in outs]).reshape(batch + outs[0][i].shape)
+            for i in range(3))
+
+    # -- commit / open -----------------------------------------------------
+
+    def _commit(self, evals_mont):
+        """Evaluation-form commit: C = MSM(L_i(tau) G1, e_i)
+        (golden/model.py:868).  evals_mont: (..., n, 16)."""
+        return self._msm_lagrange(evals_mont)
+
+    def _eval_at(self, evals_mont, z_mont):
+        """p(z) by the branchless barycentric formula.  -> (..., 16) mont."""
+        return barycentric_eval(self.plan, evals_mont, z_mont)
+
+    def _open(self, evals_mont, z_mont):
+        """Open at z -> (proof point, y mont) (golden/model.py:873)."""
+        y = barycentric_eval(self.plan, evals_mont, z_mont)
+        q = eval_form_quotient(self.plan, evals_mont, z_mont, y)
+        return self._msm_lagrange(q), y
+
+    # -- verify ------------------------------------------------------------
+
+    def _verify(self, c_point, z_can, y_can, proof_point):
+        """Single verify; z_can/y_can are canonical Fr limbs (..., 16).
+        Batch axes broadcast across all four arguments."""
+        y_g = G1.scalar_mul(G1.gen(), y_can)
+        z_pi = G1.scalar_mul(proof_point, z_can)
+        lhs = G1.add(G1.add(c_point, G1.neg(y_g)), z_pi)
+        return pairing_check([
+            (lhs, self.setup.lines_gen),
+            (G1.neg(proof_point), self.setup.lines_tau),
+        ])
+
+    def _verify_batch(self, c_points, z_can, y_can, proof_points, rho_can):
+        """Batch verify k openings (golden/model.py:891).
+
+        c_points/proof_points: G1 tuples with leading axis k;
+        z_can/y_can: (k, 16) canonical Fr; rho_can: (k, 16) canonical rho
+        powers [rho^0..rho^(k-1)].
+
+        Checks e(sum rho^i pi_i, [tau]_2) ==
+               e(sum rho^i (C_i - [y_i]_1 + z_i pi_i), [1]_2)
+        via ONE batched scalar ladder over 3k+1 points: the lhs MSM terms
+        {pi_i: rho^i z_i}, {C_i: rho^i}, {G1: -sum rho^i y_i} and the
+        pi-aggregation terms {pi_i: rho^i} share the 256-step loop.
+        """
+        k = z_can.shape[0]
+        # Fr products in Montgomery form, then back to canonical bits.
+        rho_m = FR.to_mont(rho_can)
+        rz = FR.from_mont(FR.mul(rho_m, FR.to_mont(z_can)))     # rho^i z_i
+        ry_sum = FR.sum_along(FR.mul(rho_m, FR.to_mont(y_can)), axis=0)
+        neg_ys = FR.from_mont(FR.neg(ry_sum))[None]              # (1, 16)
+
+        pts = tuple(
+            jnp.concatenate([pi, pi, c, jnp.broadcast_to(g, (1,) + g.shape)], axis=0)
+            for pi, c, g in zip(proof_points, c_points,
+                                (jnp.asarray(x) for x in G1.gen_np)))
+        scalars = jnp.concatenate([rho_can, rz, rho_can, neg_ys], axis=0)
+        c_win = default_window(3 * k + 1)
+        pi_agg, lhs = self.pip._msm_grouped(pts, scalars,
+                                            groups=(k, 2 * k + 1), c=c_win)
+        return pairing_check([
+            (lhs, self.setup.lines_gen),
+            (G1.neg(pi_agg), self.setup.lines_tau),
+        ])

@@ -1,0 +1,67 @@
+"""Frozen config dataclasses + env/flag plumbing (SURVEY.md section 5.6).
+
+No global mutable config: every tunable is a frozen dataclass constructed
+from explicit args or `TPUKZG_*` environment variables, and every bench
+JSON embeds the configs that produced it (utils/obs.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass
+
+
+def _env(name: str, default, cast=int):
+    v = os.environ.get(f"TPUKZG_{name}")
+    return default if v is None else cast(v)
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    """Limb layout of the Montgomery engine (SURVEY.md component 1-3)."""
+    limb_bits: int = 16
+    fp_limbs: int = 24
+    fr_limbs: int = 16
+
+
+@dataclass(frozen=True)
+class MsmConfig:
+    """Pippenger tuning (SURVEY.md component 9-10)."""
+    window: int | None = None          # None -> default_window(n)
+    window_chunk: int = 8              # windows per lax.map step
+    bucket_algo: str = "sort"          # sort | (future: onehot)
+
+    @classmethod
+    def from_env(cls):
+        return cls(window=_env("MSM_WINDOW", None),
+                   window_chunk=_env("MSM_WINDOW_CHUNK", 8),
+                   bucket_algo=os.environ.get("TPUKZG_MSM_BUCKET_ALGO", "sort"))
+
+
+@dataclass(frozen=True)
+class NttConfig:
+    """NTT shape knobs (SURVEY.md components 11, 24)."""
+    four_step_rows: int | None = None  # n1 of the (n1, n2) split; None -> sqrt
+
+    @classmethod
+    def from_env(cls):
+        return cls(four_step_rows=_env("NTT_ROWS", None))
+
+
+@dataclass(frozen=True)
+class KzgConfig:
+    degree: int = 4096                 # blob size n
+    check_subgroup: bool = True        # validate deserialized points
+
+    @classmethod
+    def from_env(cls):
+        return cls(degree=_env("DEGREE", 4096),
+                   check_subgroup=_env("CHECK_SUBGROUP", 1) == 1)
+
+
+def as_json_dict(*cfgs) -> dict:
+    out = {}
+    for c in cfgs:
+        out[type(c).__name__] = dataclasses.asdict(c)
+    return out

@@ -1,0 +1,58 @@
+"""Pippenger MSM differential tests vs golden model (SURVEY.md comp. 9)."""
+
+import numpy as np
+import pytest
+
+import golden.model as gold
+from tpukzg.field.mont import FR
+from tpukzg.curve import g1 as g1m
+from tpukzg.curve.g1 import G1
+from tpukzg.msm.pippenger import Pippenger, default_window
+
+
+@pytest.fixture(scope="module")
+def msm_case(rng):
+    n = 32
+    ks = [rng.randrange(gold.R) for _ in range(n)]
+    gpts = [gold.g1_mul(gold.G1_GEN, rng.randrange(gold.R)) for _ in range(n)]
+    affs = [gold.g1_affine(p) for p in gpts]
+    pts = g1m.points_from_ints([a[0] for a in affs], [a[1] for a in affs],
+                               [False] * n)
+    scal = np.asarray(FR.from_int(ks))
+    expect = gold.g1_affine(gold.g1_msm(gpts, ks))
+    return pts, scal, gpts, ks, expect
+
+
+@pytest.fixture(scope="module")
+def pip():
+    return Pippenger(G1, window_chunk=8)
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_pippenger_matches_golden(msm_case, pip, c):
+    pts, scal, _, _, expect = msm_case
+    x, y, inf = g1m.point_to_ints(pip.msm(pts, scal, c=c))
+    assert not bool(inf)
+    assert (x, y) == expect
+
+
+def test_pippenger_edge_cases(msm_case, pip, rng):
+    """Zero scalars, infinity points, k = r-1, duplicate points."""
+    _, _, gpts, ks, _ = msm_case
+    ks2 = [0, 1, gold.R - 1, ks[0]] + ks[:4]
+    gpts2 = [gpts[0], gold.G1_INF, gpts[1], gpts[0]] + gpts[:4]
+    affs = [gold.g1_affine(p) for p in gpts2]
+    pts2 = g1m.points_from_ints([a[0] if a else 0 for a in affs],
+                                [a[1] if a else 0 for a in affs],
+                                [a is None for a in affs])
+    scal2 = np.asarray(FR.from_int(ks2))
+    expect = gold.g1_affine(gold.g1_msm(gpts2, ks2))
+    x, y, inf = g1m.point_to_ints(pip.msm(pts2, scal2, c=5))
+    got = None if bool(inf) else (x, y)
+    assert got == expect
+
+
+def test_default_window_monotone():
+    assert default_window(32) == 4
+    assert 4 <= default_window(1 << 12) <= 16
+    assert 4 <= default_window(1 << 20) <= 16
