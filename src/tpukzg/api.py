@@ -76,3 +76,12 @@ def verify_blob_kzg_proof_batch(blobs, commitment_bytes_list,
                                 proof_bytes_list, ts: TrustedSetup) -> bool:
     return ts.blob.verify_blob_kzg_proof_batch(
         blobs, commitment_bytes_list, proof_bytes_list)
+
+
+def verify_blob_kzg_proof_batch_chunked(blobs, commitment_bytes_list,
+                                        proof_bytes_list, ts: TrustedSetup,
+                                        chunk: int = 64,
+                                        retries: int = 1) -> bool:
+    return ts.blob.verify_blob_kzg_proof_batch_chunked(
+        blobs, commitment_bytes_list, proof_bytes_list,
+        chunk=chunk, retries=retries)

@@ -26,6 +26,11 @@ class MeshConfig:
     def build(self, devices=None) -> Mesh:
         devs = list(devices if devices is not None else jax.devices())
         n = self.n_devices or len(devs)
+        if len(devs) < n:
+            # The default platform may expose fewer devices than requested
+            # (e.g. one real TPU while tests want the 8-virtual-CPU mesh).
+            devs = list(jax.devices("cpu"))
+        assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
         assert n & (n - 1) == 0, "power-of-two device count required"
         return Mesh(np.array(devs[:n]), (self.axis,))
 

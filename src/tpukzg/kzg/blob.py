@@ -151,3 +151,28 @@ class BlobKzg:
         rho_can = np.asarray(FR.from_int(rho_powers)).reshape(k, 16)
         ok = self.kzg.verify_batch(c_pts, z_can, y_can, pi_pts, rho_can)
         return bool(np.asarray(ok))
+
+    def verify_blob_kzg_proof_batch_chunked(self, blobs, commitment_bytes_list,
+                                            proof_bytes_list,
+                                            chunk: int = 64,
+                                            retries: int = 1) -> bool:
+        """Chunked driver for very large batches (SURVEY.md section 5.3):
+        a failed/raising chunk is retried `retries` times before the whole
+        call returns False, so one bad device step cannot poison an
+        arbitrarily large run.  Chunking also pins the compiled batch
+        shape, avoiding a recompile per distinct k."""
+        k = len(blobs)
+        for i in range(0, k, chunk):
+            sl = slice(i, min(i + chunk, k))
+            for attempt in range(retries + 1):
+                try:
+                    ok = self.verify_blob_kzg_proof_batch(
+                        blobs[sl], commitment_bytes_list[sl],
+                        proof_bytes_list[sl])
+                    break
+                except Exception:
+                    if attempt == retries:
+                        raise
+            if not ok:
+                return False
+        return True

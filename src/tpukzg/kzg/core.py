@@ -38,6 +38,10 @@ class Kzg:
         self.pip = Pippenger(G1, window=msm_window)
         self._c_commit = msm_window or default_window(setup.n)
         self.commit = jax.jit(self._commit)
+        self.commit_coeff = jax.jit(self._commit_coeff)
+        self.interpolate = jax.jit(self._interpolate)
+        self.to_evals = jax.jit(self._to_evals)
+        self.open_coeff = jax.jit(self._open_coeff)
         self.eval_at = jax.jit(self._eval_at)
         self.open = jax.jit(self._open)
         self.verify = jax.jit(self._verify)
@@ -71,6 +75,37 @@ class Kzg:
         """Evaluation-form commit: C = MSM(L_i(tau) G1, e_i)
         (golden/model.py:868).  evals_mont: (..., n, 16)."""
         return self._msm_lagrange(evals_mont)
+
+    def _commit_coeff(self, coeffs_mont):
+        """Coefficient-form commit against the monomial SRS.
+        coeffs_mont: (..., n, 16) Montgomery Fr."""
+        ks = FR.from_mont(coeffs_mont)
+        pts = tuple(jnp.asarray(c) for c in self.setup.monomial_g1)
+        batch = ks.shape[:-2]
+        if not batch:
+            return self.pip._msm(pts, ks, c=self._c_commit)
+        flat = int(np.prod(batch))
+        ks2 = ks.reshape((flat, self.n, 16))
+        outs = [self.pip._msm(pts, ks2[i], c=self._c_commit)
+                for i in range(flat)]
+        return tuple(
+            jnp.stack([o[i] for o in outs]).reshape(batch + outs[0][i].shape)
+            for i in range(3))
+
+    def _interpolate(self, evals_mont):
+        """Natural-order evaluations -> coefficients (iNTT)."""
+        return self.plan._intt(evals_mont)
+
+    def _to_evals(self, coeffs_mont):
+        """Coefficients -> natural-order evaluations (NTT)."""
+        return self.plan._ntt(coeffs_mont)
+
+    def _open_coeff(self, coeffs_mont, z_mont):
+        """Full coefficient-form pipeline (BASELINE.json:10 'config 4'):
+        NTT to evaluation form -> barycentric eval -> evaluation-form
+        quotient -> Lagrange-SRS MSM.  -> (proof point, y mont)."""
+        evals = self.plan._ntt(coeffs_mont)
+        return self._open(evals, z_mont)
 
     def _eval_at(self, evals_mont, z_mont):
         """p(z) by the branchless barycentric formula.  -> (..., 16) mont."""
