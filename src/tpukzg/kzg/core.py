@@ -26,7 +26,8 @@ from tpukzg.field.mont import FR
 from tpukzg.curve.g1 import G1
 from tpukzg.pairing.check import pairing_check
 from tpukzg.poly.poly import barycentric_eval, eval_form_quotient
-from tpukzg.msm.pippenger import Pippenger, default_window
+from tpukzg.msm.pippenger import default_window
+from tpukzg.msm.pippenger_lm import PippengerLM
 from tpukzg.kzg.setup import Setup
 
 
@@ -35,7 +36,7 @@ class Kzg:
         self.setup = setup
         self.n = setup.n
         self.plan = setup.plan
-        self.pip = Pippenger(G1, window=msm_window)
+        self.pip = PippengerLM(window=msm_window)
         self._c_commit = msm_window or default_window(setup.n)
         self.commit = jax.jit(self._commit)
         self.commit_coeff = jax.jit(self._commit_coeff)

@@ -112,11 +112,21 @@ class Pippenger:
     """MSM engine bound to one CurveOps; jitted per (n, c) shape."""
 
     def __init__(self, curve, window: int | None = None,
-                 window_chunk: int = 8):
+                 window_chunk: int | None = None,
+                 chunk_budget_bytes: int = 1 << 28):
         self.curve = curve
         self.window = window
-        self.window_chunk = window_chunk
+        self.window_chunk = window_chunk      # None -> adaptive
+        self.chunk_budget_bytes = chunk_budget_bytes
         self._jit = jax.jit(self._msm, static_argnames=("c",))
+
+    def _chunk(self, n: int, W: int) -> int:
+        """Windows per lax.map step: as many as the memory budget allows
+        (fewer sequential steps = lower latency), floor 1."""
+        if self.window_chunk is not None:
+            return min(self.window_chunk, W)
+        per_window = n * 3 * 24 * 4 * 3   # gathered+scanned point copies
+        return max(1, min(W, self.chunk_budget_bytes // max(per_window, 1)))
 
     def msm(self, points, scalars, c: int | None = None):
         """sum_i [k_i] P_i.  points: tuple with leading n axis;
@@ -144,7 +154,7 @@ class Pippenger:
         # Chunk windows with lax.map: bounds peak memory AND keeps the
         # traced graph one-chunk-sized (compile time matters as much as
         # run time for these op-heavy bodies).
-        g = min(self.window_chunk, W)
+        g = self._chunk(n, W)
         Wp = -(-W // g) * g
         # Padded windows read digit 0 everywhere -> all-infinity window
         # sums -> no effect on the Horner fold.

@@ -1,0 +1,132 @@
+"""Limb-major Pippenger MSM — the production G1 MSM path (SURVEY 9-10).
+
+Identical algorithm to msm/pippenger.py (sort-by-digit + segmented
+EC-scan buckets) re-laid for the limb-major layout: point coords are
+(L, n) with the point index on the LANE axis, so every EC add in the
+scan runs dense 128-wide lanes (TPU microbench 2026-08-16: ~2x from
+layout alone, more once the fused Pallas EC kernel lands underneath).
+
+Public boundary stays the library's (n, L) layout; transposes happen once
+per MSM call and amortize to nothing against the O(W*n) adds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpukzg.curve.weierstrass_lm import G1_LM
+from tpukzg.msm.pippenger import _digits, default_window
+
+
+def _seg_scan(curve, pts, seg):
+    """Segmented inclusive EC-sum scan along the last (lane) axis.
+    pts coords (L, g, n); seg passed as (1, g, n) so every pytree leaf has
+    rank 3 (associative_scan applies ONE axis index to all leaves)."""
+    def combine(a, b):
+        (pa, sa), (pb, sb) = a, b
+        merged = curve.add(pa, pb)
+        out = curve.select((sa == sb)[0], merged, pb)
+        return (out, sb)
+
+    (scanned, _) = lax.associative_scan(combine, (pts, seg[None]), axis=2)
+    return scanned
+
+
+def _bucket_totals(curve, scanned, sorted_dg, c: int):
+    B_ = 1 << c
+    bucket_vals = jnp.arange(1, B_, dtype=jnp.int32)
+    pos = jax.vmap(lambda sd: jnp.searchsorted(sd, bucket_vals, side="right"))(
+        sorted_dg)                                    # (g, B-1)
+    last = jnp.clip(pos - 1, 0, sorted_dg.shape[-1] - 1)
+    hit = (jnp.take_along_axis(sorted_dg, last, axis=-1) == bucket_vals[None])
+    hit &= pos > 0
+    picked = tuple(jnp.take_along_axis(c_, last[None], axis=2)
+                   for c_ in scanned)                 # (L, g, B-1)
+    inf = curve.inf(hit.shape)
+    return curve.select(hit, picked, inf)
+
+
+def _window_sums(curve, buckets):
+    """sum_b b*S_b via suffix scan over the bucket (lane) axis + reduce."""
+    rev = tuple(c_[..., ::-1] for c_ in buckets)
+    suffix = lax.associative_scan(curve.add, rev, axis=-1)
+    return curve.reduce_sum_lanes(suffix, axis=1)     # over bucket axis
+
+
+class PippengerLM:
+    def __init__(self, window: int | None = None,
+                 window_chunk: int | None = None,
+                 chunk_budget_bytes: int = 1 << 28):
+        self.curve = G1_LM
+        self.window = window
+        self.window_chunk = window_chunk
+        self.chunk_budget_bytes = chunk_budget_bytes
+        self._jit = jax.jit(self._msm_public, static_argnames=("c",))
+
+    def _chunk(self, n: int, W: int) -> int:
+        if self.window_chunk is not None:
+            return min(self.window_chunk, W)
+        per_window = n * 3 * 24 * 4 * 3
+        return max(1, min(W, self.chunk_budget_bytes // max(per_window, 1)))
+
+    def _msm_grouped(self, points, scalars, *, groups, c: int):
+        """Split the point axis at static `groups` lengths, MSM each slice
+        (public-layout points in, public-layout single points out)."""
+        out, start = [], 0
+        for g in groups:
+            pts = tuple(c_[start:start + g] for c_ in points)
+            out.append(self._msm_public(pts, scalars[start:start + g], c=c))
+            start += g
+        return tuple(out)
+
+    # -- public-layout wrapper --
+
+    def msm(self, points, scalars, c: int | None = None):
+        """points: (n, L)-layout coord tuple; scalars (n, 16) canonical.
+        Returns a public-layout point (3 coords, (L,) arrays)."""
+        n = scalars.shape[0]
+        if c is None:
+            c = self.window or default_window(n)
+        return self._jit(points, scalars, c=c)
+
+    def _msm_public(self, points, scalars, *, c: int):
+        pts_lm = tuple(jnp.moveaxis(p, -1, 0) for p in points)  # (L, n)
+        out = self._msm_lm(pts_lm, scalars, c=c)
+        return tuple(o for o in out)  # (L,) coords — public single point
+
+    # Same trace-level call shape as msm.pippenger.Pippenger._msm, so the
+    # Kzg engine can hold either implementation.
+    _msm = _msm_public
+
+    # -- core --
+
+    def _msm_lm(self, pts_lm, scalars, *, c: int):
+        curve = self.curve
+        digits = _digits(scalars, c)                  # (W, n)
+        W, n = digits.shape
+        g = self._chunk(n, W)
+        Wp = -(-W // g) * g
+        dchunks = jnp.pad(digits, ((0, Wp - W), (0, 0))).reshape(Wp // g, g, n)
+
+        def chunk_fn(dg):
+            idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (g, n))
+            sorted_dg, perm = lax.sort_key_val(dg, idx, dimension=1)
+            pts = tuple(jnp.take(c_, perm, axis=1) for c_ in pts_lm)  # (L,g,n)
+            scanned = _seg_scan(curve, pts, sorted_dg)
+            buckets = _bucket_totals(curve, scanned, sorted_dg, c)
+            return _window_sums(curve, buckets)       # coords (L, g)
+
+        wres = lax.map(chunk_fn, dchunks)             # (Wp//g, L, g)
+        wres = tuple(jnp.moveaxis(c_, 1, 0).reshape(c_.shape[1], Wp)
+                     for c_ in wres)                  # (L, Wp)
+
+        def fold(i, acc):
+            for _ in range(c):
+                acc = curve.double(acc)
+            wi = tuple(c_[:, Wp - 1 - i] for c_ in wres)
+            return curve.add(acc, wi)
+
+        return lax.fori_loop(0, Wp, fold, curve.inf(()))

@@ -32,11 +32,27 @@ def pairing_check(pairs_with_lines):
 
     pairs_with_lines: list of (g1_point, (dbl_lines, add_lines)).
     Returns a scalar bool array.
+
+    All Miller loops run as ONE batched loop (pairs stacked on a leading
+    axis): the loop is latency-bound at small batch, so k pairs cost the
+    same wall-clock as one (profile 2026-08-16: 2 sequential loops were
+    ~57% of the whole batch-verify device time).
     """
-    f = None
-    for p_point, lines in pairs_with_lines:
-        fi = _miller_one(p_point, lines)
-        f = fi if f is None else FP12.mul(f, fi)
+    k = len(pairs_with_lines)
+    if k == 1:
+        f = _miller_one(*pairs_with_lines[0])
+    else:
+        pts = tuple(jnp.stack([p[i] for p, _ in pairs_with_lines])
+                    for i in range(3))                    # (k, L) coords
+        xp, yp, is_inf = G1.normalize(pts)                # ONE batched inv
+        dl = jnp.stack([jnp.asarray(l[0]) for _, l in pairs_with_lines])
+        al = jnp.stack([jnp.asarray(l[1]) for _, l in pairs_with_lines])
+        fs = miller_loop_lines(xp, yp, dl, al)            # (k, 2,3,2,L)
+        one = jnp.broadcast_to(jnp.asarray(FP12.one_np), fs.shape)
+        fs = FP12.select(is_inf, one, fs)
+        f = fs[0]
+        for i in range(1, k):
+            f = FP12.mul(f, fs[i])
     e = final_exp(f)
     one = jnp.broadcast_to(jnp.asarray(FP12.one_np), e.shape)
     return FP12.eq(e, one)

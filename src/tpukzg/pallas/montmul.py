@@ -75,24 +75,25 @@ def _prod_cols_lm(a, b, L, n_cols):
     """Column sums of a*b in limb-major layout: a, b (L, N) ->
     (n_cols, N); products split lo/hi before accumulation (sums < 2^22)."""
     cols = jnp.zeros((n_cols,) + a.shape[1:], jnp.uint32)
+    pad0 = [(0, 0)] * (a.ndim - 1)
     for i in range(L):
         o = a[i][None] * b                       # (L, N)
         lo = o & MASK
         hi = o >> B
         if i < n_cols:
             w = min(L, n_cols - i)
-            cols = cols.at[i:i + w].add(lo[:w])
+            cols = cols + jnp.pad(lo[:w], [(i, n_cols - i - w)] + pad0)
         if i + 1 < n_cols:
             w = min(L, n_cols - i - 1)
-            cols = cols.at[i + 1:i + 1 + w].add(hi[:w])
+            cols = cols + jnp.pad(hi[:w], [(i + 1, n_cols - i - 1 - w)] + pad0)
     return cols
 
 
 def _sub_mod_lm(res, carry, p_limbs):
-    """res (L, N) canonical, carry (N,) in {0,1}: subtract p if >= p.
-    Borrow chain resolved with the same KS trick on (diff, borrow)."""
+    """res (L, *batch) canonical, carry (*batch) in {0,1}: subtract p if
+    >= p.  Borrow chain resolved with the same KS trick on (diff, borrow)."""
     L = res.shape[0]
-    pm = p_limbs[:, None]
+    pm = p_limbs.reshape((L,) + (1,) * (res.ndim - 1))
     d = res + (MASK + 1) - pm                    # (L, N): no underflow
     s = d & MASK
     g = 1 - (d >> B)                             # borrow out of position i
@@ -110,23 +111,27 @@ def _sub_mod_lm(res, carry, p_limbs):
     return jnp.where(ge[None], diff, res)
 
 
-def montmul_lm(a, b, params: FieldParams):
-    """Limb-major Montgomery product: a, b (L, N) u32 -> (L, N).
-    Pure-JAX body — used directly AND as the Pallas kernel body."""
-    L = params.L
-    mu = jnp.asarray(params.mu_limbs)[:, None]
-    pm = jnp.asarray(params.mod_limbs)[:, None]
+def _montmul_lm_core(a, b, mu, pm, L):
+    """Limb-major Montgomery product core.  a, b (L, N); mu, pm (L, 1)."""
     t_cols = _prod_cols_lm(a, b, L, 2 * L)
     t, _ = _carry_resolve(t_cols)
     m_cols = _prod_cols_lm(t[:L], jnp.broadcast_to(mu, (L,) + a.shape[1:]), L, L)
     m, _ = _carry_resolve(m_cols)
     mp = _prod_cols_lm(m, jnp.broadcast_to(pm, (L,) + a.shape[1:]), L, 2 * L)
     s, carry = _carry_resolve(t + mp)
-    return _sub_mod_lm(s[L:], carry, jnp.asarray(params.mod_limbs))
+    return _sub_mod_lm(s[L:], carry, pm[:, 0])
 
 
-def _montmul_kernel(a_ref, b_ref, out_ref, *, params):
-    out_ref[:] = montmul_lm(a_ref[:], b_ref[:], params)
+def montmul_lm(a, b, params: FieldParams):
+    """Limb-major Montgomery product: a, b (L, N) u32 -> (L, N).
+    Pure-JAX body — used directly AND as the Pallas kernel body."""
+    mu = jnp.asarray(params.mu_limbs)[:, None]
+    pm = jnp.asarray(params.mod_limbs)[:, None]
+    return _montmul_lm_core(a, b, mu, pm, params.L)
+
+
+def _montmul_kernel(a_ref, b_ref, mu_ref, pm_ref, out_ref, *, L):
+    out_ref[:] = _montmul_lm_core(a_ref[:], b_ref[:], mu_ref[:], pm_ref[:], L)
 
 
 def make_montmul_pallas(params: FieldParams, tile: int = 512,
@@ -134,7 +139,9 @@ def make_montmul_pallas(params: FieldParams, tile: int = 512,
     """Returns f(a, b) on the PUBLIC (N, L) layout, computing through the
     limb-major Pallas kernel with a grid over N//tile lane-tiles."""
     L = params.L
-    kernel = functools.partial(_montmul_kernel, params=params)
+    kernel = functools.partial(_montmul_kernel, L=L)
+    mu = np.asarray(params.mu_limbs, dtype=np.uint32)[:, None]
+    pm = np.asarray(params.mod_limbs, dtype=np.uint32)[:, None]
 
     @jax.jit
     def mul(a, b):
@@ -150,12 +157,16 @@ def make_montmul_pallas(params: FieldParams, tile: int = 512,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((L, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((L, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
             interpret=interpret,
-        )(a_lm, b_lm)
+        )(a_lm, b_lm, mu, pm)
         return out.T
 
     return mul

@@ -56,3 +56,35 @@ def test_default_window_monotone():
     assert default_window(32) == 4
     assert 4 <= default_window(1 << 12) <= 16
     assert 4 <= default_window(1 << 20) <= 16
+
+
+# ---------------------------------------------------------------------------
+# Limb-major engine (msm/pippenger_lm.py) — must agree with golden exactly
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_pippenger_lm_matches_golden(msm_case, c):
+    from tpukzg.msm.pippenger_lm import PippengerLM
+    pts, scal, _, _, expect = msm_case
+    res = PippengerLM(window_chunk=8).msm(pts, scal, c=c)
+    x, y, inf = g1m.point_to_ints(res)
+    assert not bool(inf)
+    assert (x, y) == expect
+
+
+def test_pippenger_lm_edge_cases(msm_case, rng):
+    from tpukzg.msm.pippenger_lm import PippengerLM
+    _, _, gpts, ks, _ = msm_case
+    ks2 = [0, 1, gold.R - 1, ks[0]] + ks[:4]
+    gpts2 = [gpts[0], gold.G1_INF, gpts[1], gpts[0]] + gpts[:4]
+    affs = [gold.g1_affine(p) for p in gpts2]
+    pts2 = g1m.points_from_ints([a[0] if a else 0 for a in affs],
+                                [a[1] if a else 0 for a in affs],
+                                [a is None for a in affs])
+    scal2 = np.asarray(FR.from_int(ks2))
+    expect = gold.g1_affine(gold.g1_msm(gpts2, ks2))
+    res = PippengerLM().msm(pts2, scal2, c=5)
+    x, y, inf = g1m.point_to_ints(res)
+    got = None if bool(inf) else (x, y)
+    assert got == expect

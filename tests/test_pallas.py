@@ -42,3 +42,59 @@ def test_montmul_pallas_interpret(rng):
     got = np.asarray(f(a, b))
     ref = np.asarray(FP.mul(a, b))
     assert np.array_equal(got, ref)
+
+
+# ---------------------------------------------------------------------------
+# Limb-major field ops (field/limb_major.py) vs FieldParams reference
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("field", [FP, FR], ids=["fp", "fr"])
+def test_limb_major_field_ops(field, rng):
+    from tpukzg.field.limb_major import FieldLM
+    lm = FieldLM(field)
+    n = 8
+    xs = [rng.randrange(field.modulus) for _ in range(n)]
+    ys = [rng.randrange(field.modulus) for _ in range(n)]
+    a = np.stack([np.asarray(field.from_int(x)) for x in xs])
+    b = np.stack([np.asarray(field.from_int(y)) for y in ys])
+    al, bl = a.T.copy(), b.T.copy()
+    for op in ("add", "sub", "mul", "neg", "double"):
+        ref = np.asarray(getattr(field, op)(a, b) if op in ("add", "sub", "mul")
+                         else getattr(field, op)(a))
+        got_lm = (getattr(lm, op)(al, bl) if op in ("add", "sub", "mul")
+                  else getattr(lm, op)(al))
+        assert np.array_equal(np.asarray(got_lm).T, ref), op
+    # edge: a - a = 0; (p-1) ops
+    mx = np.asarray(field.from_int(field.modulus - 1))[:, None]
+    assert np.array_equal(np.asarray(lm.sub(mx, mx)), np.zeros_like(mx))
+    assert np.array_equal(np.asarray(lm.add(mx, mx)).T[0],
+                          np.asarray(field.from_int(field.modulus - 2)))
+
+
+def test_curve_lm_add_double(rng):
+    import golden.model as gold
+    from tpukzg.curve import g1 as g1m
+    from tpukzg.curve.weierstrass_lm import G1_LM
+    k1, k2 = rng.randrange(gold.R), rng.randrange(gold.R)
+    P = gold.g1_mul(gold.G1_GEN, k1)
+    Q = gold.g1_mul(gold.G1_GEN, k2)
+    pa, qa = gold.g1_affine(P), gold.g1_affine(Q)
+    pd = g1m.points_from_ints([pa[0], qa[0]], [pa[1], qa[1]], [False, False])
+    lmp = tuple(np.asarray(c).T.copy() for c in pd)  # (L, 2)
+    one = tuple(c[:, 0] for c in lmp)
+    two = tuple(c[:, 1] for c in lmp)
+    s = G1_LM.add(one, two)
+    d = G1_LM.double(one)
+    xs, ys, _ = g1m.point_to_ints(tuple(np.asarray(c) for c in s))
+    assert (xs, ys) == gold.g1_affine(gold.g1_add(P, Q))
+    xs, ys, _ = g1m.point_to_ints(tuple(np.asarray(c) for c in d))
+    assert (xs, ys) == gold.g1_affine(gold.g1_double(P))
+    # complete-formula edges: P + (-P) = inf, P + inf = P
+    negq = G1_LM.neg(one)
+    si = G1_LM.add(one, negq)
+    assert bool(np.asarray(G1_LM.is_inf(si)))
+    infp = G1_LM.inf(())
+    sp = G1_LM.add(one, infp)
+    xs, ys, _ = g1m.point_to_ints(tuple(np.asarray(c) for c in sp))
+    assert (xs, ys) == pa
