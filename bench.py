@@ -26,6 +26,16 @@ for p in (REPO, os.path.join(REPO, "src")):
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
 os.environ.setdefault("TPUKZG_CACHE_DIR", os.path.join(REPO, ".srs_cache"))
 
+# XLA executable serialization (cache writes) can blow the default 8 MB
+# stack on the large verify executables; raise to the hard cap.
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ImportError, ValueError, OSError):
+    pass
+
 TARGET = 1e6  # verifications/sec north star (BASELINE.json:5)
 
 

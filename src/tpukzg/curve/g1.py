@@ -108,3 +108,62 @@ def point_to_ints(p):
 def compress_point(p) -> bytes:
     xi, yi, inf = point_to_ints(p)
     return compress(xi, yi, bool(inf))
+
+
+# ---------------------------------------------------------------------------
+# Fast subgroup membership via the GLV endomorphism (SURVEY.md comp. 6)
+# ---------------------------------------------------------------------------
+#
+# phi(x, y) = (beta x, y) with beta a primitive cube root of unity acts on
+# the r-order subgroup as multiplication by lambda = x_BLS^2 - 1 (verified
+# against the golden model in-session; lambda^2 + lambda + 1 = 0 mod r since
+# r = x^4 - x^2 + 1).  deg(lambda - phi) = lambda^2 + lambda + 1 = r exactly,
+# so ker(phi - [lambda]) has order r and equals G1: the test
+#     on_curve(P)  and  phi(P) == [lambda]P
+# accepts exactly G1 (plus infinity).  [lambda]P = [x]([x]P) - P costs two
+# 64-bit x-ladders instead of one 255-bit r-ladder — ~2x fewer EC ops.
+
+BETA_GLV = 0x1A0111EA397FE699EC02408663D4DE85AA0D857D89759AD4897D29650FB85F9B409427EB4F49FFFD8BFD00000000AAAC
+_X_ABS = 0xD201000000010000
+_beta_mont = np.asarray(FP.to_mont(FP.from_int(BETA_GLV)))
+_x_limbs = np.asarray(FR.from_int(_X_ABS))
+
+
+_X_BITS_MSB = np.array([int(b) for b in bin(_X_ABS)[2:]], dtype=np.uint32)
+
+
+def _mul_by_abs_x(p):
+    """[|x_BLS|] P — 64-iteration fori ladder over the static bit table
+    (graph stays one-body-sized; the unrolled chain compiled ~30x slower
+    on this box's single-core XLA CPU backend)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    bits = jnp.asarray(_X_BITS_MSB)
+    batch = p[0].shape[:-1]
+    acc0 = G1.inf(batch)
+    p = tuple(jnp.broadcast_to(c, batch + c.shape[-1:]) for c in p)
+
+    def body(i, acc):
+        acc = G1._double(acc)
+        added = G1._add(acc, p)
+        return G1.select(jnp.broadcast_to(bits[i] == 1, batch), added, acc)
+
+    return lax.fori_loop(0, len(_X_BITS_MSB), body, acc0)
+
+
+def in_subgroup_fast(p):
+    """Batched G1 membership: on-curve and phi(P) == [x^2-1]P.
+    Accepts infinity.  ~2x faster than the [r]P ladder."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def check(p):
+        xp = _mul_by_abs_x(p)           # [x]P  (x = -|x|: sign handled below)
+        x2p = _mul_by_abs_x(xp)         # [x^2]P — sign squares away
+        lam_p = G1.add(x2p, G1.neg(p))  # [x^2 - 1]P
+        phi = (FP.mul(p[0], jnp.asarray(_beta_mont)), p[1], p[2])
+        return G1.eq(phi, lam_p) & G1.is_on_curve(p)
+
+    return check(p)

@@ -70,19 +70,56 @@ class BlobKzg:
         self.n = kzg.n
         self.bytes_per_blob = self.n * BYTES_PER_FIELD_ELEMENT
         self._brp = kzg.plan.brp  # bit-reversal permutation indices
+        self._stage = None        # lazily-built jitted device stager
 
     # -- helpers --
 
+    def _build_stage(self):
+        import jax
+        import jax.numpy as jnp
+        r_be = np.array([(R_MOD >> (16 * (15 - i))) & 0xFFFF
+                         for i in range(16)], dtype=np.uint32)
+        brp = np.asarray(self._brp)
+
+        def stage(bytes_u8):
+            """(k, n, 32) u8 big-endian blob bytes ->
+            ((k, n, 16) Montgomery natural-order evals, all-in-range flag).
+            Raw bytes upload (half the traffic of u32 limbs) + all limb
+            work on device — the tunnel made host staging ~10% of batch
+            verify wall time."""
+            a = bytes_u8.astype(jnp.uint32)
+            limbs_be = (a[..., 0::2] << 8) | a[..., 1::2]   # (k, n, 16)
+            lt = limbs_be < r_be
+            gt = limbs_be > r_be
+            first = jnp.argmax(lt | gt, axis=-1)
+            any_diff = jnp.take_along_axis(lt | gt, first[..., None], -1)[..., 0]
+            ok = jnp.all(any_diff &
+                         jnp.take_along_axis(lt, first[..., None], -1)[..., 0])
+            natural = limbs_be[..., ::-1][:, brp]           # little-endian + brp
+            return FR._to_mont(natural), ok
+
+        return jax.jit(stage)
+
     def _blob_natural_mont(self, blobs: list[bytes]) -> np.ndarray:
-        """blobs -> (k, n, 16) Montgomery evals in NATURAL domain order."""
-        lims = np.stack([blob_to_limbs(b, self.n) for b in blobs])
-        return np.asarray(FR.to_mont(lims[:, self._brp]))
+        """blobs -> (k, n, 16) Montgomery evals in NATURAL domain order.
+        Raises ValueError if any element is >= r (checked on device)."""
+        for b in blobs:
+            if len(b) != self.bytes_per_blob:
+                raise ValueError(f"blob must be {self.bytes_per_blob} bytes")
+        if self._stage is None:
+            self._stage = self._build_stage()
+        raw = np.stack([np.frombuffer(b, dtype=np.uint8).reshape(self.n, 32)
+                        for b in blobs])
+        mont, ok = self._stage(raw)
+        if not bool(np.asarray(ok)):
+            raise ValueError("blob element out of Fr range")
+        return mont
 
     def _decompress_g1_batch(self, byte_list: list[bytes], check_subgroup=True):
         ints = [g1m.decompress(b) for b in byte_list]
         pts = g1m.points_from_ints(*zip(*ints))
         if check_subgroup:
-            ok = np.asarray(G1.in_subgroup(pts))
+            ok = np.asarray(g1m.in_subgroup_fast(pts))
             if not bool(np.all(ok)):
                 raise ValueError("G1 point not in subgroup")
         return pts

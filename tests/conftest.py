@@ -13,6 +13,17 @@ if "xla_force_host_platform_device_count" not in prev:
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# XLA's CPU executable serialization (persistent-cache writes) recurses
+# deeply on the ~100 MB verify/open executables and segfaults under the
+# default 8 MB stack — raise the limit as far as the hard cap allows.
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ImportError, ValueError, OSError):
+    pass
+
 # Persistent compilation cache: reruns skip XLA compiles entirely.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

@@ -130,3 +130,32 @@ def test_g2_codec_matches_golden(rng):
     k = rng.randrange(gold.R)
     gp = gold.g2_mul(gold.G2_GEN, k)
     assert g2m.compress_point(g2_in(gp)) == gold.g2_compress(gp)
+
+
+def test_in_subgroup_fast(rng):
+    """GLV endomorphism membership test vs golden ground truth, including
+    an on-curve point OUTSIDE the r-subgroup (h1-torsion component)."""
+    import golden.model as gold
+    from tpukzg.curve import g1 as g1m
+
+    members = [gold.g1_mul(gold.G1_GEN, rng.randrange(gold.R)) for _ in range(3)]
+    # find an on-curve point NOT in the subgroup
+    x = 1
+    outside = None
+    while outside is None:
+        x += 1
+        y = gold.fp_sqrt((x * x * x + 4) % gold.P)
+        if y is None:
+            continue
+        cand = gold.g1_from_affine((x, y))
+        if not gold.g1_in_subgroup(cand):
+            outside = cand
+    pts_aff = [gold.g1_affine(p) for p in members] + [gold.g1_affine(outside)]
+    infs = [False] * 4
+    pts = g1m.points_from_ints([a[0] for a in pts_aff],
+                               [a[1] for a in pts_aff], infs)
+    got = np.asarray(g1m.in_subgroup_fast(pts))
+    assert got.tolist() == [True, True, True, False]
+    # infinity is a member
+    inf_pt = g1m.points_from_ints([0], [0], [True])
+    assert bool(np.asarray(g1m.in_subgroup_fast(inf_pt))[0])
