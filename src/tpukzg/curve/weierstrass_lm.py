@@ -99,6 +99,29 @@ class CurveLM:
         X, Y, Z = p
         return (X, self.F.neg(Y), Z)
 
+    # -- predicates --
+
+    def is_inf(self, p):
+        return self.F.is_zero(p[2])
+
+    def eq(self, p, q):
+        """Projective equality via cross-multiplication, infinity-aware."""
+        F = self.F
+        a, b, c, d = self._bmul([(p[0], q[2]), (q[0], p[2]),
+                                 (p[1], q[2]), (q[1], p[2])])
+        same = F.eq(a, b) & F.eq(c, d)
+        pi, qi = self.is_inf(p), self.is_inf(q)
+        return jnp.where(pi | qi, pi == qi, same)
+
+    def is_on_curve(self, p):
+        """3 Y^2 Z == 3 X^3 + 3b Z^3 (avoids dividing b3 by 3)."""
+        F = self.F
+        y2, x2, z2 = self._bmul([(p[1], p[1]), (p[0], p[0]), (p[2], p[2])])
+        y2z, x3, z3 = self._bmul([(y2, p[2]), (x2, p[0]), (z2, p[2])])
+        lhs = F.add(F.add(y2z, y2z), y2z)
+        rhs = F.add(F.add(F.add(x3, x3), x3), F.mul_small(z3, self.b3_small))
+        return F.eq(lhs, rhs) | self.is_inf(p)
+
     # -- reductions --
 
     def reduce_sum_lanes(self, pts, axis: int):

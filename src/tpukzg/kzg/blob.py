@@ -71,34 +71,48 @@ class BlobKzg:
         self.bytes_per_blob = self.n * BYTES_PER_FIELD_ELEMENT
         self._brp = kzg.plan.brp  # bit-reversal permutation indices
         self._stage = None        # lazily-built jitted device stager
+        self._stage_eval = None   # fused stager + barycentric eval
 
     # -- helpers --
 
-    def _build_stage(self):
-        import jax
+    def _stage_body(self, bytes_u8):
+        """(k, n, 32) u8 big-endian blob bytes ->
+        ((k, n, 16) Montgomery natural-order evals, all-in-range flag).
+        Raw bytes upload (half the traffic of u32 limbs) + all limb
+        work on device — the tunnel made host staging ~10% of batch
+        verify wall time.  Traced inside a caller's jit."""
         import jax.numpy as jnp
         r_be = np.array([(R_MOD >> (16 * (15 - i))) & 0xFFFF
                          for i in range(16)], dtype=np.uint32)
         brp = np.asarray(self._brp)
+        a = bytes_u8.astype(jnp.uint32)
+        limbs_be = (a[..., 0::2] << 8) | a[..., 1::2]   # (k, n, 16)
+        lt = limbs_be < r_be
+        gt = limbs_be > r_be
+        first = jnp.argmax(lt | gt, axis=-1)
+        any_diff = jnp.take_along_axis(lt | gt, first[..., None], -1)[..., 0]
+        ok = jnp.all(any_diff &
+                     jnp.take_along_axis(lt, first[..., None], -1)[..., 0])
+        natural = limbs_be[..., ::-1][:, brp]           # little-endian + brp
+        return FR._to_mont(natural), ok
 
-        def stage(bytes_u8):
-            """(k, n, 32) u8 big-endian blob bytes ->
-            ((k, n, 16) Montgomery natural-order evals, all-in-range flag).
-            Raw bytes upload (half the traffic of u32 limbs) + all limb
-            work on device — the tunnel made host staging ~10% of batch
-            verify wall time."""
-            a = bytes_u8.astype(jnp.uint32)
-            limbs_be = (a[..., 0::2] << 8) | a[..., 1::2]   # (k, n, 16)
-            lt = limbs_be < r_be
-            gt = limbs_be > r_be
-            first = jnp.argmax(lt | gt, axis=-1)
-            any_diff = jnp.take_along_axis(lt | gt, first[..., None], -1)[..., 0]
-            ok = jnp.all(any_diff &
-                         jnp.take_along_axis(lt, first[..., None], -1)[..., 0])
-            natural = limbs_be[..., ::-1][:, brp]           # little-endian + brp
-            return FR._to_mont(natural), ok
+    def _build_stage(self):
+        import jax
+        return jax.jit(self._stage_body)
 
-        return jax.jit(stage)
+    def _build_stage_eval(self):
+        """One fused jit: byte staging + batched barycentric eval.
+        Merging the two dispatches matters because every device call
+        rides the host<->chip tunnel (~100 ms round trip here)."""
+        import jax
+        from tpukzg.poly.poly import barycentric_eval
+
+        def stage_eval(bytes_u8, z_mont):
+            mont, ok = self._stage_body(bytes_u8)
+            y = barycentric_eval(self.kzg.plan, mont, z_mont)
+            return FR._from_mont(y), ok
+
+        return jax.jit(stage_eval)
 
     def _blob_natural_mont(self, blobs: list[bytes]) -> np.ndarray:
         """blobs -> (k, n, 16) Montgomery evals in NATURAL domain order.
@@ -124,6 +138,27 @@ class BlobKzg:
                 raise ValueError("G1 point not in subgroup")
         return pts
 
+    def _decompress_g1_two_async(self, byte_list_a, byte_list_b):
+        """Decompress two point lists and subgroup-check them in ONE
+        batched device call: the check is latency-bound (fixed 126-double
+        chain), so checking 2k points costs the same wall time as k.
+        Returns (pts_a, pts_b, ok_device) WITHOUT syncing — the caller
+        folds `ok_device` into its final verdict so the check overlaps
+        later dispatches and host-side hashing."""
+        a = self._decompress_g1_batch(byte_list_a, check_subgroup=False)
+        b = self._decompress_g1_batch(byte_list_b, check_subgroup=False)
+        ka = len(byte_list_a)
+        both = tuple(np.concatenate([np.asarray(x), np.asarray(y)], axis=0)
+                     for x, y in zip(a, b))
+        ok = g1m.in_subgroup_fast(both)
+        return (tuple(c[:ka] for c in both), tuple(c[ka:] for c in both), ok)
+
+    def _decompress_g1_two(self, byte_list_a, byte_list_b):
+        a, b, ok = self._decompress_g1_two_async(byte_list_a, byte_list_b)
+        if not bool(np.all(np.asarray(ok))):
+            raise ValueError("G1 point not in subgroup")
+        return a, b
+
     # -- single-blob API --
 
     def blob_to_kzg_commitment(self, blob: bytes) -> bytes:
@@ -145,8 +180,7 @@ class BlobKzg:
 
     def verify_kzg_proof(self, commitment_bytes: bytes, z_bytes: bytes,
                          y_bytes: bytes, proof_bytes: bytes) -> bool:
-        c = self._decompress_g1_batch([commitment_bytes])
-        pi = self._decompress_g1_batch([proof_bytes])
+        c, pi = self._decompress_g1_two([commitment_bytes], [proof_bytes])
         z = blob_to_limbs(z_bytes, 1)
         y = blob_to_limbs(y_bytes, 1)
         ok = self.kzg.verify(tuple(x[0] for x in c), z[0], y[0],
@@ -170,24 +204,37 @@ class BlobKzg:
         assert k == len(commitment_bytes_list) == len(proof_bytes_list)
         if k == 0:
             return True
+        for b in blobs:
+            if len(b) != self.bytes_per_blob:
+                return False
         try:
-            c_pts = self._decompress_g1_batch(commitment_bytes_list)
-            pi_pts = self._decompress_g1_batch(proof_bytes_list)
-            evals = self._blob_natural_mont(blobs)               # (k, n, 16)
-        except ValueError:
+            # async: subgroup-check verdict stays on device until the end
+            c_pts, pi_pts, ok_sub = self._decompress_g1_two_async(
+                commitment_bytes_list, proof_bytes_list)
+        except ValueError:          # malformed encoding (host-side reject)
             return False
 
+        # host Fiat-Shamir z = H(blob, C) runs while the device works
         zs = [transcript.compute_challenge(blobs[i], commitment_bytes_list[i],
                                            self.n) for i in range(k)]
         z_can = np.asarray(FR.from_int(zs)).reshape(k, 16)
-        y_mont = self.kzg.eval_at(evals, np.asarray(FR.to_mont(z_can)))
-        y_can = np.asarray(FR.from_mont(y_mont))
+
+        if self._stage_eval is None:
+            self._stage_eval = self._build_stage_eval()
+        raw = np.stack([np.frombuffer(b, dtype=np.uint8).reshape(self.n, 32)
+                        for b in blobs])
+        y_dev, ok_range = self._stage_eval(raw, np.asarray(FR.to_mont(z_can)))
+        y_can = np.asarray(y_dev)   # sync: y feeds the rho transcript
+
         ys = fr_ints_from_limbs(y_can)
         _, rho_powers = transcript.compute_r_powers(
             commitment_bytes_list, zs, ys, proof_bytes_list, self.n)
         rho_can = np.asarray(FR.from_int(rho_powers)).reshape(k, 16)
         ok = self.kzg.verify_batch(c_pts, z_can, y_can, pi_pts, rho_can)
-        return bool(np.asarray(ok))
+        # single sync point folds all three device verdicts
+        return bool(np.asarray(ok)
+                    & np.all(np.asarray(ok_sub))
+                    & np.asarray(ok_range))
 
     def verify_blob_kzg_proof_batch_chunked(self, blobs, commitment_bytes_list,
                                             proof_bytes_list,

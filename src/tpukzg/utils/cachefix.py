@@ -1,0 +1,70 @@
+"""Workaround for XLA persistent-cache stack overflows (infra, not math).
+
+`LoadedExecutable.serialize()` / `deserialize_executable()` recurse
+deeply on this library's ~100 MB CPU executables and overflow the
+default 8 MB stack (SIGSEGV in `put_executable_and_time`, observed
+2026-08-16/17).  Raising RLIMIT_STACK in-process is unreliable — the
+already-mapped main stack cannot always grow past later mmaps — and
+re-exec'ing breaks under pytest's fd-level output capture.
+
+The reliable fix: run the cache read/write on a dedicated thread whose
+stack is freshly mmapped at creation with a large size.  Call
+`install()` once before heavy jit compiles (done by tests/conftest.py
+and bench.py).
+"""
+
+from __future__ import annotations
+
+import threading
+
+_BIG_STACK_BYTES = 512 * 1024 * 1024
+_installed = False
+
+
+def _run_on_big_stack(fn, *args, **kwargs):
+    out: dict = {}
+
+    def runner():
+        try:
+            out["v"] = fn(*args, **kwargs)
+        except BaseException as e:  # re-raised in caller
+            out["e"] = e
+
+    old = threading.stack_size(_BIG_STACK_BYTES)
+    try:
+        t = threading.Thread(target=runner, name="xla-cache-io")
+        t.start()
+        t.join()
+    finally:
+        threading.stack_size(old)
+    if "e" in out:
+        raise out["e"]
+    return out.get("v")
+
+
+def install() -> None:
+    """Route jax persistent-cache serialize/deserialize through a
+    big-stack thread.  Idempotent; silently no-ops if jax internals
+    move (the cache then just works or misses as before)."""
+    global _installed
+    if _installed:
+        return
+    _installed = True
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _orig_put = _cc.put_executable_and_time
+        _orig_get = _cc.get_executable_and_time
+
+        def put_big(*a, **k):
+            return _run_on_big_stack(_orig_put, *a, **k)
+
+        def get_big(*a, **k):
+            return _run_on_big_stack(_orig_get, *a, **k)
+
+        _cc.put_executable_and_time = put_big
+        _cc.get_executable_and_time = get_big
+        # compiler.py binds the names via module attribute lookups, so
+        # patching the compilation_cache module is sufficient.
+    except Exception:
+        pass

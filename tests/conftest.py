@@ -13,17 +13,6 @@ if "xla_force_host_platform_device_count" not in prev:
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# XLA's CPU executable serialization (persistent-cache writes) recurses
-# deeply on the ~100 MB verify/open executables and segfaults under the
-# default 8 MB stack — raise the limit as far as the hard cap allows.
-try:
-    import resource
-
-    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
-except (ImportError, ValueError, OSError):
-    pass
-
 # Persistent compilation cache: reruns skip XLA compiles entirely.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
@@ -35,6 +24,12 @@ for p in (REPO, os.path.join(REPO, "src")):
 import random  # noqa: E402
 
 import jax  # noqa: E402
+
+# Big-stack thread for XLA executable (de)serialization — the ~100 MB
+# cached executables overflow the default stack (see utils/cachefix.py).
+from tpukzg.utils import cachefix  # noqa: E402
+
+cachefix.install()
 
 # The axon TPU plugin ignores JAX_PLATFORMS=cpu; pin the default device to
 # the (8-virtual-device) CPU backend explicitly so tests never touch the
