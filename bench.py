@@ -75,9 +75,8 @@ def main():
     # folding scalars differ per batch index either way).
     t0 = time.time()
     base_blobs = [mkblob() for _ in range(distinct)]
-    base_cs = [tpukzg.blob_to_kzg_commitment(b, ts) for b in base_blobs]
-    base_pfs = [tpukzg.compute_blob_kzg_proof(b, c, ts)
-                for b, c in zip(base_blobs, base_cs)]
+    base_cs = tpukzg.blob_to_kzg_commitment_batch(base_blobs, ts)
+    base_pfs = tpukzg.compute_blob_kzg_proof_batch(base_blobs, base_cs, ts)
     blobs = [base_blobs[i % distinct] for i in range(k)]
     cs = [base_cs[i % distinct] for i in range(k)]
     pfs = [base_pfs[i % distinct] for i in range(k)]

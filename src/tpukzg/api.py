@@ -61,6 +61,17 @@ def compute_blob_kzg_proof(blob: bytes, commitment_bytes: bytes,
     return ts.blob.compute_blob_kzg_proof(blob, commitment_bytes)
 
 
+def blob_to_kzg_commitment_batch(blobs, ts: TrustedSetup) -> list[bytes]:
+    """Commit k blobs in one batched MSM program (TPU-native extension)."""
+    return ts.blob.blob_to_kzg_commitment_batch(blobs)
+
+
+def compute_blob_kzg_proof_batch(blobs, commitment_bytes_list,
+                                 ts: TrustedSetup) -> list[bytes]:
+    """Prove k blobs in one batched open program (TPU-native extension)."""
+    return ts.blob.compute_blob_kzg_proof_batch(blobs, commitment_bytes_list)
+
+
 def verify_kzg_proof(commitment_bytes: bytes, z_bytes: bytes, y_bytes: bytes,
                      proof_bytes: bytes, ts: TrustedSetup) -> bool:
     return ts.blob.verify_kzg_proof(commitment_bytes, z_bytes, y_bytes,

@@ -89,6 +89,8 @@ def points_from_ints(xs, ys, infs):
     infs = np.asarray(list(infs), dtype=bool)
     x_l = np.stack([int_to_limbs(0 if i else x, FP.L)
                     for x, i in zip(xs, infs)])
+    from tpukzg.utils import checked
+    checked.check_limbs("points_from_ints.x", x_l)
     y_l = np.stack([int_to_limbs(1 if i else y, FP.L)
                     for y, i in zip(ys, infs)])
     z_l = np.broadcast_to(int_to_limbs(1, FP.L), (n, FP.L)).copy()
@@ -108,6 +110,18 @@ def point_to_ints(p):
 def compress_point(p) -> bytes:
     xi, yi, inf = point_to_ints(p)
     return compress(xi, yi, bool(inf))
+
+
+def compress_points(p) -> list[bytes]:
+    """Batched device points ((k, L) coords) -> list of 48-byte
+    compressed encodings.  One batched normalize (the field inversions
+    dominate), then host-side byte packing."""
+    x, y, inf = G1.normalize(p)
+    x = np.asarray(FP.from_mont(x))
+    y = np.asarray(FP.from_mont(y))
+    inf = np.asarray(inf)
+    return [compress(FP.to_int(x[i]), FP.to_int(y[i]), bool(inf[i]))
+            for i in range(x.shape[0])]
 
 
 # ---------------------------------------------------------------------------

@@ -192,6 +192,33 @@ class BlobKzg:
         return self.verify_blob_kzg_proof_batch(
             [blob], [commitment_bytes], [proof_bytes])
 
+    # -- batched prove/commit (TPU-native extensions: the EIP-4844
+    #    surface is per-blob, but one batched MSM program beats k
+    #    sequential ones by ~an order of magnitude on this hardware) --
+
+    def blob_to_kzg_commitment_batch(self, blobs: list[bytes]) -> list[bytes]:
+        """Commit every blob in ONE batched Lagrange-SRS MSM."""
+        if not blobs:
+            return []
+        evals = self._blob_natural_mont(blobs)        # (k, n, 16)
+        return g1m.compress_points(self.kzg.commit(evals))
+
+    def compute_blob_kzg_proof_batch(self, blobs: list[bytes],
+                                     commitment_bytes_list: list[bytes]
+                                     ) -> list[bytes]:
+        """Proofs for k blobs at their Fiat-Shamir challenge points in
+        ONE batched open (barycentric + quotient + shared-SRS MSM)."""
+        k = len(blobs)
+        assert k == len(commitment_bytes_list)
+        if k == 0:
+            return []
+        evals = self._blob_natural_mont(blobs)
+        zs = [transcript.compute_challenge(blobs[i], commitment_bytes_list[i],
+                                           self.n) for i in range(k)]
+        z_mont = np.asarray(FR.to_mont(FR.from_int(zs))).reshape(k, 16)
+        pi, _y = self.kzg.open(evals, z_mont)
+        return g1m.compress_points(pi)
+
     # -- the namesake batch path --
 
     def verify_blob_kzg_proof_batch(self, blobs: list[bytes],
@@ -230,6 +257,10 @@ class BlobKzg:
         _, rho_powers = transcript.compute_r_powers(
             commitment_bytes_list, zs, ys, proof_bytes_list, self.n)
         rho_can = np.asarray(FR.from_int(rho_powers)).reshape(k, 16)
+        from tpukzg.utils import checked
+        checked.check_limbs("verify_batch.z", z_can)
+        checked.check_limbs("verify_batch.y", y_can)
+        checked.check_limbs("verify_batch.rho", rho_can)
         ok = self.kzg.verify_batch(c_pts, z_can, y_can, pi_pts, rho_can)
         # single sync point folds all three device verdicts
         return bool(np.asarray(ok)

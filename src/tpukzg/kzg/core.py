@@ -59,16 +59,20 @@ class Kzg:
         of the point axis; the bucket sort handles them jointly)."""
         ks = FR.from_mont(scalars_mont)                      # canonical bits
         pts = tuple(jnp.asarray(c) for c in self.setup.lagrange_g1)
+        return self._msm_shared(pts, ks)
+
+    def _msm_shared(self, pts, ks):
+        """One MSM per leading-batch row against shared points — a single
+        sort+scan program over the (window x batch) axis, NOT an unrolled
+        per-row loop (which made k-blob proving compile and run ~k times
+        slower)."""
         batch = ks.shape[:-2]
         if not batch:
             return self.pip._msm(pts, ks, c=self._c_commit)
         flat = int(np.prod(batch))
         ks2 = ks.reshape((flat, self.n, 16))
-        outs = [self.pip._msm(pts, ks2[i], c=self._c_commit)
-                for i in range(flat)]
-        return tuple(
-            jnp.stack([o[i] for o in outs]).reshape(batch + outs[0][i].shape)
-            for i in range(3))
+        out = self.pip._msm_batch_public(pts, ks2, c=self._c_commit)
+        return tuple(o.reshape(batch + o.shape[1:]) for o in out)
 
     # -- commit / open -----------------------------------------------------
 
@@ -82,16 +86,7 @@ class Kzg:
         coeffs_mont: (..., n, 16) Montgomery Fr."""
         ks = FR.from_mont(coeffs_mont)
         pts = tuple(jnp.asarray(c) for c in self.setup.monomial_g1)
-        batch = ks.shape[:-2]
-        if not batch:
-            return self.pip._msm(pts, ks, c=self._c_commit)
-        flat = int(np.prod(batch))
-        ks2 = ks.reshape((flat, self.n, 16))
-        outs = [self.pip._msm(pts, ks2[i], c=self._c_commit)
-                for i in range(flat)]
-        return tuple(
-            jnp.stack([o[i] for o in outs]).reshape(batch + outs[0][i].shape)
-            for i in range(3))
+        return self._msm_shared(pts, ks)
 
     def _interpolate(self, evals_mont):
         """Natural-order evaluations -> coefficients (iNTT)."""

@@ -65,6 +65,8 @@ class PippengerLM:
         self.window_chunk = window_chunk
         self.chunk_budget_bytes = chunk_budget_bytes
         self._jit = jax.jit(self._msm_public, static_argnames=("c",))
+        self._jit_batch = jax.jit(self._msm_batch_public,
+                                  static_argnames=("c",))
 
     def _chunk(self, n: int, W: int) -> int:
         if self.window_chunk is not None:
@@ -100,6 +102,56 @@ class PippengerLM:
     # Same trace-level call shape as msm.pippenger.Pippenger._msm, so the
     # Kzg engine can hold either implementation.
     _msm = _msm_public
+
+    # -- batched MSM over SHARED points (k scalar vectors, one SRS) --
+
+    def msm_batch(self, points, scalars, c: int | None = None):
+        """points: shared (n, L)-layout coord tuple; scalars (k, n, 16)
+        canonical.  Returns a public-layout point batch ((k, L) coords).
+
+        One sort+scan over the (window x batch) axis — the whole batch
+        of MSMs is a single device program, unlike mapping msm() over k
+        (which unrolls k copies of the graph and compiles forever)."""
+        k, n = scalars.shape[0], scalars.shape[1]
+        if c is None:
+            c = self.window or default_window(n)
+        return self._jit_batch(points, scalars, c=c)
+
+    def _msm_batch_public(self, points, scalars, *, c: int):
+        pts_lm = tuple(jnp.moveaxis(p, -1, 0) for p in points)  # (L, n)
+        out = self._msm_lm_shared(pts_lm, scalars, c=c)         # (L, k)
+        return tuple(jnp.moveaxis(o, 0, -1) for o in out)       # (k, L)
+
+    def _msm_lm_shared(self, pts_lm, scalars, *, c: int):
+        curve = self.curve
+        digits = _digits(scalars, c)                  # (W, k, n)
+        W, k, n = digits.shape
+        dflat = digits.reshape(W * k, n)
+        g = self._chunk(n, W * k)
+        Wp = -(-(W * k) // g) * g
+        dchunks = jnp.pad(dflat, ((0, Wp - W * k), (0, 0))).reshape(
+            Wp // g, g, n)
+
+        def chunk_fn(dg):
+            idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (g, n))
+            sorted_dg, perm = lax.sort_key_val(dg, idx, dimension=1)
+            pts = tuple(jnp.take(c_, perm, axis=1) for c_ in pts_lm)
+            scanned = _seg_scan(curve, pts, sorted_dg)
+            buckets = _bucket_totals(curve, scanned, sorted_dg, c)
+            return _window_sums(curve, buckets)       # coords (L, g)
+
+        wres = lax.map(chunk_fn, dchunks)             # (Wp//g, L, g)
+        wres = tuple(jnp.moveaxis(c_, 1, 0).reshape(c_.shape[1], Wp)
+                     [:, :W * k].reshape(-1, W, k)
+                     for c_ in wres)                  # (L, W, k)
+
+        def fold(i, acc):
+            for _ in range(c):
+                acc = curve.double(acc)
+            wi = tuple(c_[:, W - 1 - i] for c_ in wres)   # MSB window first
+            return curve.add(acc, wi)
+
+        return lax.fori_loop(0, W, fold, curve.inf((k,)))
 
     # -- core --
 

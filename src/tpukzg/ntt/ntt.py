@@ -20,6 +20,7 @@ from tpukzg.field.mont import FR, R_MOD
 
 TWO_ADICITY = 32
 OMEGA_2_32 = 0x16A2A19EDFE81F20D09B681922C813B4B63683508C2280B93829971F439F0D2B
+COSET_GEN = 7  # multiplicative generator of Fr* (SURVEY.md 2.1)
 
 
 def omega_for(n: int) -> int:
@@ -78,8 +79,20 @@ class NttPlan:
             self._tw_inv.append(np.asarray(FR.to_mont(FR.from_int(ti)) if half > 1
                                            else FR.to_mont(FR.from_int(ti[0]))[None]))
         self.n_inv = np.asarray(FR.to_mont(FR.from_int(pow(n, R_MOD - 2, R_MOD))))
+        # Coset shift g^i / g^-i tables (g = 7, the Fr* generator behind
+        # omega_{2^32} — SURVEY.md 2.1).  Evaluating on the coset g<w>
+        # keeps the vanishing polynomial Z_H(g w^i) = g^n - 1 nonzero,
+        # which is what quotient-by-vanishing division needs (comp. 11).
+        g = COSET_GEN
+        g_inv = pow(g, R_MOD - 2, R_MOD)
+        self.coset_pow = np.asarray(FR.to_mont(FR.from_int(
+            [pow(g, i, R_MOD) for i in range(n)])))
+        self.coset_pow_inv = np.asarray(FR.to_mont(FR.from_int(
+            [pow(g_inv, i, R_MOD) for i in range(n)])))
         self.ntt = jax.jit(self._ntt)
         self.intt = jax.jit(self._intt)
+        self.coset_ntt = jax.jit(self._coset_ntt)
+        self.coset_intt = jax.jit(self._coset_intt)
 
     def _butterflies(self, a, twiddles):
         """a: (..., n, L) bit-reversed input -> natural-order output."""
@@ -103,6 +116,15 @@ class NttPlan:
         a = jnp.take(evals, jnp.asarray(self.brp), axis=-2)
         a = self._butterflies(a, self._tw_inv)
         return FR.mul(a, jnp.asarray(self.n_inv))
+
+    def _coset_ntt(self, coeffs):
+        """Evaluations of the polynomial on the coset {g w^i}: scale
+        coefficient i by g^i, then a plain NTT."""
+        return self._ntt(FR.mul(coeffs, jnp.asarray(self.coset_pow)))
+
+    def _coset_intt(self, evals):
+        """Inverse of _coset_ntt: plain iNTT, then un-scale by g^-i."""
+        return FR.mul(self._intt(evals), jnp.asarray(self.coset_pow_inv))
 
 
 _plan_cache: dict[int, NttPlan] = {}

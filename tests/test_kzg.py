@@ -114,3 +114,16 @@ def test_setup_save_load_roundtrip(ts, tmp_path):
         assert np.array_equal(a, b)
     for a, b in zip(s2.g2_tau, ts.setup.g2_tau):
         assert np.array_equal(a, b)
+
+
+def test_batched_prove_matches_single(case, ts):
+    """blob_to_kzg_commitment_batch / compute_blob_kzg_proof_batch (one
+    shared-points MSM program) must be byte-identical to the per-blob
+    path."""
+    blobs, cs, pfs = case
+    assert tpukzg.blob_to_kzg_commitment_batch(blobs, ts) == cs
+    assert tpukzg.compute_blob_kzg_proof_batch(blobs, cs, ts) == pfs
+    assert tpukzg.blob_to_kzg_commitment_batch([], ts) == []
+    # batch of one
+    assert tpukzg.blob_to_kzg_commitment_batch(blobs[:1], ts) == cs[:1]
+    assert tpukzg.compute_blob_kzg_proof_batch(blobs[:1], cs[:1], ts) == pfs[:1]

@@ -84,3 +84,16 @@ def test_quotient(rng, plan, in_domain):
     got = from_mont(eval_form_quotient_jit(plan, to_mont(evals), to_mont(z), to_mont(y)))
     want = gold.eval_form_quotient(evals, z, y, plan.omega)
     assert got == want
+
+
+def test_coset_ntt_roundtrip_and_golden(rng, plan):
+    """coset_ntt evaluates on {g w^i} (g = 7); coset_intt inverts it."""
+    from tpukzg.ntt.ntt import COSET_GEN
+    n = plan.n
+    coeffs = [rng.randrange(gold.R) for _ in range(n)]
+    evals = from_mont(plan.coset_ntt(to_mont(coeffs)))
+    for i in range(n):
+        z = (COSET_GEN * plan.roots_int[i]) % gold.R
+        assert evals[i] == gold.poly_eval(coeffs, z)
+    back = from_mont(plan.coset_intt(to_mont(evals)))
+    assert back == coeffs

@@ -98,3 +98,29 @@ def test_curve_lm_add_double(rng):
     sp = G1_LM.add(one, infp)
     xs, ys, _ = g1m.point_to_ints(tuple(np.asarray(c) for c in sp))
     assert (xs, ys) == pa
+
+
+def test_checked_mode(rng, monkeypatch):
+    """TPUKZG_CHECKED boundary asserts + bound certificate + bignum
+    Montgomery oracle (SURVEY.md 5.2)."""
+    import numpy as np
+    from tpukzg.utils import checked
+    from tpukzg.field.mont import FP
+
+    cert = checked.cios_bound_certificate(16, 32)
+    assert cert["worst_intermediate"] < 1 << 32
+
+    # oracle vs device kernel, incl. the all-0xFFFF stress operand
+    a = np.asarray(FP.from_int(rng.randrange(FP.modulus)))
+    b = np.full((FP.L,), 0xFFFF, np.uint32)
+    b_val = sum(int(x) << (16 * i) for i, x in enumerate(b)) % FP.modulus
+    b_red = np.asarray(FP.from_int(b_val))
+    got = np.asarray(FP.mul(a, b_red))
+    want = checked.montmul_golden(a, b_red, FP)
+    assert got.tolist() == want.tolist()
+
+    monkeypatch.setenv("TPUKZG_CHECKED", "1")
+    checked.check_limbs("ok", np.array([0xFFFF], np.uint32))
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        checked.check_limbs("bad", np.array([0x10000], np.uint32))
