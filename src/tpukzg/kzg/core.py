@@ -38,55 +38,75 @@ class Kzg:
         self.plan = setup.plan
         self.pip = PippengerLM(window=msm_window)
         self._c_commit = msm_window or default_window(setup.n)
-        self.commit = jax.jit(self._commit)
-        self.commit_coeff = jax.jit(self._commit_coeff)
+        self._tables = {}  # "lag"/"mono" -> precomputed window tables
         self.interpolate = jax.jit(self._interpolate)
         self.to_evals = jax.jit(self._to_evals)
-        self.open_coeff = jax.jit(self._open_coeff)
         self.eval_at = jax.jit(self._eval_at)
-        self.open = jax.jit(self._open)
         self.verify = jax.jit(self._verify)
         self.verify_batch = jax.jit(self._verify_batch)
+        # commit/open pass the precomputed SRS window table as a jit
+        # ARGUMENT: closing over the SRS bakes it into the graph as a
+        # constant, which bloated executables to ~100 MB and dominated
+        # compile time.
+        self._commit_jit = jax.jit(self._commit_fixed, static_argnames=("c",))
+        self._open_jit = jax.jit(self._open_fixed, static_argnames=("c",))
 
-    # -- helpers -----------------------------------------------------------
+    # -- fixed-base SRS tables ---------------------------------------------
 
-    def _msm_lagrange(self, scalars_mont):
-        """Pippenger MSM(lagrange SRS, scalars), batched over leading axes.
+    def _table(self, name: str):
+        """Window table [2^(c*w)] P_i for the named SRS basis, built once
+        on device (SURVEY comp. 17: Pippenger precompute): every commit /
+        open MSM becomes ONE bucket pass with no window-fold doublings."""
+        if name not in self._tables:
+            pts = (self.setup.lagrange_g1 if name == "lag"
+                   else self.setup.monomial_g1)
+            pts = tuple(jnp.asarray(x) for x in pts)
+            self._tables[name] = self.pip.build_fixed_table(
+                pts, self._c_commit)
+        return self._tables[name]
 
-        scalars_mont: (..., n, 16) Montgomery Fr.  Returns G1 point with
-        batch shape (...).  Leading batch axes fold into one wider MSM by
-        tiling the SRS points (each blob's n scalars meet their own copy
-        of the point axis; the bucket sort handles them jointly)."""
+    def _msm_fixed(self, table, scalars_mont, c: int):
+        """MSM against a precomputed table; leading batch axes supported.
+        scalars_mont: (..., n, 16) Montgomery Fr -> point batch (...)."""
         ks = FR.from_mont(scalars_mont)                      # canonical bits
-        pts = tuple(jnp.asarray(c) for c in self.setup.lagrange_g1)
-        return self._msm_shared(pts, ks)
-
-    def _msm_shared(self, pts, ks):
-        """One MSM per leading-batch row against shared points — a single
-        sort+scan program over the (window x batch) axis, NOT an unrolled
-        per-row loop (which made k-blob proving compile and run ~k times
-        slower)."""
         batch = ks.shape[:-2]
-        if not batch:
-            return self.pip._msm(pts, ks, c=self._c_commit)
-        flat = int(np.prod(batch))
+        flat = int(np.prod(batch)) if batch else 1
         ks2 = ks.reshape((flat, self.n, 16))
-        out = self.pip._msm_batch_public(pts, ks2, c=self._c_commit)
+        out = self.pip._msm_fixed_public(table, ks2, c=c)    # (flat, L)
         return tuple(o.reshape(batch + o.shape[1:]) for o in out)
 
     # -- commit / open -----------------------------------------------------
 
-    def _commit(self, evals_mont):
+    def commit(self, evals_mont):
         """Evaluation-form commit: C = MSM(L_i(tau) G1, e_i)
         (golden/model.py:868).  evals_mont: (..., n, 16)."""
-        return self._msm_lagrange(evals_mont)
+        return self._commit_jit(self._table("lag"), evals_mont,
+                                c=self._c_commit)
 
-    def _commit_coeff(self, coeffs_mont):
-        """Coefficient-form commit against the monomial SRS.
-        coeffs_mont: (..., n, 16) Montgomery Fr."""
-        ks = FR.from_mont(coeffs_mont)
-        pts = tuple(jnp.asarray(c) for c in self.setup.monomial_g1)
-        return self._msm_shared(pts, ks)
+    def commit_coeff(self, coeffs_mont):
+        """Coefficient-form commit against the monomial SRS."""
+        return self._commit_jit(self._table("mono"), coeffs_mont,
+                                c=self._c_commit)
+
+    def open(self, evals_mont, z_mont):
+        """Open at z -> (proof point, y mont) (golden/model.py:873)."""
+        return self._open_jit(self._table("lag"), evals_mont, z_mont,
+                              c=self._c_commit)
+
+    def open_coeff(self, coeffs_mont, z_mont):
+        """Full coefficient-form pipeline (BASELINE.json:10 'config 4'):
+        NTT to evaluation form -> barycentric eval -> evaluation-form
+        quotient -> Lagrange-SRS MSM.  -> (proof point, y mont)."""
+        evals = self.to_evals(coeffs_mont)
+        return self.open(evals, z_mont)
+
+    def _commit_fixed(self, table, evals_mont, *, c):
+        return self._msm_fixed(table, evals_mont, c)
+
+    def _open_fixed(self, table, evals_mont, z_mont, *, c):
+        y = barycentric_eval(self.plan, evals_mont, z_mont)
+        q = eval_form_quotient(self.plan, evals_mont, z_mont, y)
+        return self._msm_fixed(table, q, c), y
 
     def _interpolate(self, evals_mont):
         """Natural-order evaluations -> coefficients (iNTT)."""
@@ -96,22 +116,9 @@ class Kzg:
         """Coefficients -> natural-order evaluations (NTT)."""
         return self.plan._ntt(coeffs_mont)
 
-    def _open_coeff(self, coeffs_mont, z_mont):
-        """Full coefficient-form pipeline (BASELINE.json:10 'config 4'):
-        NTT to evaluation form -> barycentric eval -> evaluation-form
-        quotient -> Lagrange-SRS MSM.  -> (proof point, y mont)."""
-        evals = self.plan._ntt(coeffs_mont)
-        return self._open(evals, z_mont)
-
     def _eval_at(self, evals_mont, z_mont):
         """p(z) by the branchless barycentric formula.  -> (..., 16) mont."""
         return barycentric_eval(self.plan, evals_mont, z_mont)
-
-    def _open(self, evals_mont, z_mont):
-        """Open at z -> (proof point, y mont) (golden/model.py:873)."""
-        y = barycentric_eval(self.plan, evals_mont, z_mont)
-        q = eval_form_quotient(self.plan, evals_mont, z_mont, y)
-        return self._msm_lagrange(q), y
 
     # -- verify ------------------------------------------------------------
 

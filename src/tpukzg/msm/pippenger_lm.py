@@ -67,6 +67,8 @@ class PippengerLM:
         self._jit = jax.jit(self._msm_public, static_argnames=("c",))
         self._jit_batch = jax.jit(self._msm_batch_public,
                                   static_argnames=("c",))
+        self._jit_fixed = jax.jit(self._msm_fixed_public,
+                                  static_argnames=("c",))
 
     def _chunk(self, n: int, W: int) -> int:
         if self.window_chunk is not None:
@@ -102,6 +104,63 @@ class PippengerLM:
     # Same trace-level call shape as msm.pippenger.Pippenger._msm, so the
     # Kzg engine can hold either implementation.
     _msm = _msm_public
+
+    # -- fixed-base MSM with precomputed window tables (SURVEY comp. 17) --
+
+    def build_fixed_table(self, points, c: int):
+        """points: public (n, L) coord tuple -> window table, coords
+        (W, L, n): table[w] = [2^(c*w)] P_i.  One 255-double chain on
+        device, built once per SRS and kept in HBM (~30 MB at n=4096).
+        Turns every subsequent MSM into a SINGLE bucket pass with no
+        window-fold doubling chain."""
+        curve = self.curve
+        W = -(-256 // c)
+
+        def build(pts):
+            plm = tuple(jnp.moveaxis(p, -1, 0) for p in pts)
+
+            def step(carry, _):
+                nxt = carry
+                for _ in range(c):
+                    nxt = curve.double(nxt)
+                return nxt, carry
+
+            _, tabs = lax.scan(step, plm, None, length=W)
+            return tabs                                    # (W, L, n) each
+
+        return jax.jit(build)(points)
+
+    def msm_fixed(self, table, scalars, c: int):
+        """table from build_fixed_table (coords (W, L, n)); scalars
+        (k, n, 16) canonical.  -> public-layout point batch ((k, L))."""
+        return self._jit_fixed(table, scalars, c=c)
+
+    def _msm_fixed_public(self, table, scalars, *, c: int):
+        curve = self.curve
+        digits = _digits(scalars, c)                       # (W, k, n)
+        W, k, n = digits.shape
+        keys = jnp.moveaxis(digits, 1, 0).reshape(k, W * n)
+        pts_flat = tuple(jnp.moveaxis(t, 0, 1).reshape(t.shape[1], W * n)
+                         for t in table)                   # (L, W*n)
+        per_row = W * n * 3 * 24 * 4 * 3
+        g = max(1, min(k, self.chunk_budget_bytes // max(per_row, 1)))
+        kp = -(-k // g) * g
+        keys_p = jnp.pad(keys, ((0, kp - k), (0, 0))).reshape(kp // g, g, W * n)
+
+        def chunk_fn(dg):
+            idx = jnp.broadcast_to(jnp.arange(W * n, dtype=jnp.int32),
+                                   (g, W * n))
+            sorted_dg, perm = lax.sort_key_val(dg, idx, dimension=1)
+            pts = tuple(jnp.take(c_, perm, axis=1) for c_ in pts_flat)
+            scanned = _seg_scan(curve, pts, sorted_dg)
+            buckets = _bucket_totals(curve, scanned, sorted_dg, c)
+            return _window_sums(curve, buckets)            # (L, g): one
+            # full MSM per row — the table absorbed the window fold
+
+        res = lax.map(chunk_fn, keys_p)                    # (kp//g, L, g)
+        res = tuple(jnp.moveaxis(c_, 1, 0).reshape(c_.shape[1], kp)[:, :k]
+                    for c_ in res)                         # (L, k)
+        return tuple(jnp.moveaxis(c_, 0, -1) for c_ in res)  # (k, L)
 
     # -- batched MSM over SHARED points (k scalar vectors, one SRS) --
 

@@ -15,10 +15,48 @@ and bench.py).
 
 from __future__ import annotations
 
+import os
 import threading
 
-_BIG_STACK_BYTES = 512 * 1024 * 1024
+_BIG_STACK_BYTES = 2 * 1024 * 1024 * 1024
 _installed = False
+
+# Crash sentinel: a cache write that segfaults kills the whole process,
+# so `put` records the module name here first and clears it on success.
+# A name found in the file at startup crashed a previous run — writes
+# for it are skipped permanently (reads still work; the executable is
+# simply recompiled each process).
+_SENTINEL = os.path.join(
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp"),
+    ".serialize_crashes")
+
+
+def _crashed_modules() -> set[str]:
+    try:
+        with open(_SENTINEL) as f:
+            return {ln.strip() for ln in f if ln.strip()}
+    except OSError:
+        return set()
+
+
+def _mark(module: str) -> None:
+    try:
+        with open(_SENTINEL, "a") as f:
+            f.write(module + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+    except OSError:
+        pass
+
+
+def _unmark(module: str) -> None:
+    try:
+        mods = _crashed_modules()
+        mods.discard(module)
+        with open(_SENTINEL, "w") as f:
+            f.write("".join(m + "\n" for m in mods))
+    except OSError:
+        pass
 
 
 def _run_on_big_stack(fn, *args, **kwargs):
@@ -56,8 +94,18 @@ def install() -> None:
         _orig_put = _cc.put_executable_and_time
         _orig_get = _cc.get_executable_and_time
 
-        def put_big(*a, **k):
-            return _run_on_big_stack(_orig_put, *a, **k)
+        def put_big(cache_key, module_name, executable, backend, *a, **k):
+            try:
+                key = f"{getattr(backend, 'platform', '?')}:{module_name}"
+            except Exception:
+                key = module_name
+            if key in _crashed_modules():
+                return None  # serialize crashed a previous run: skip
+            _mark(key)
+            out = _run_on_big_stack(_orig_put, cache_key, module_name,
+                                    executable, backend, *a, **k)
+            _unmark(key)
+            return out
 
         def get_big(*a, **k):
             return _run_on_big_stack(_orig_get, *a, **k)

@@ -127,3 +127,24 @@ def test_batched_prove_matches_single(case, ts):
     # batch of one
     assert tpukzg.blob_to_kzg_commitment_batch(blobs[:1], ts) == cs[:1]
     assert tpukzg.compute_blob_kzg_proof_batch(blobs[:1], cs[:1], ts) == pfs[:1]
+
+
+def test_coeff_form_paths(case, ts, rng):
+    """commit_coeff(monomial SRS) and open_coeff must agree with the
+    evaluation-form paths through interpolate/to_evals."""
+    import numpy as np
+    from tpukzg.field.mont import FR
+    from tpukzg.kzg.blob import blob_to_limbs
+    from tpukzg.curve import g1 as g1m
+
+    blobs, cs, _ = case
+    kzg = ts.kzg
+    evals = np.asarray(FR.to_mont(blob_to_limbs(blobs[0], N)[ts.blob._brp]))
+    coeffs = kzg.interpolate(evals)
+    c_coeff = g1m.compress_point(kzg.commit_coeff(coeffs))
+    assert c_coeff == cs[0]
+    z = np.asarray(FR.to_mont(FR.from_int(rng.randrange(gold.R))))
+    pi_e, y_e = kzg.open(evals, z)
+    pi_c, y_c = kzg.open_coeff(coeffs, z)
+    assert g1m.compress_point(pi_c) == g1m.compress_point(pi_e)
+    assert np.asarray(y_c).tolist() == np.asarray(y_e).tolist()
