@@ -46,6 +46,162 @@ G2 = CurveOps(
 )
 
 
+# ---------------------------------------------------------------------------
+# psi-endomorphism fast subgroup check (SURVEY.md component 7)
+#
+# psi = untwist o Frobenius o twist acts on E'(Fp2) as
+#   psi(X : Y : Z) = (cx * X^p : cy * Y^p : Z^p),
+#   cx = xi^(-(p-1)/3), cy = xi^(-(p-1)/2),  xi = 1 + u,
+# and Q lies in the order-r subgroup iff psi(Q) = [x]Q for the (negative)
+# BLS parameter x = -0xd201000000010000.  Verified numerically against
+# golden/model.py this session: holds for [k]G2, fails for on-curve
+# points outside the subgroup.  Cost: one Frobenius + a 64-step ladder
+# instead of the generic 255-step [r]P ladder.
+# ---------------------------------------------------------------------------
+
+X_BLS_ABS = 0xD201000000010000
+
+
+def _fp2_int_mul(a, b):
+    return ((a[0] * b[0] - a[1] * b[1]) % P_MOD,
+            (a[0] * b[1] + a[1] * b[0]) % P_MOD)
+
+
+def _fp2_int_pow(a, e):
+    r, b = (1, 0), a
+    while e:
+        if e & 1:
+            r = _fp2_int_mul(r, b)
+        b = _fp2_int_mul(b, b)
+        e >>= 1
+    return r
+
+
+def _fp2_int_inv(a):
+    n = (a[0] * a[0] + a[1] * a[1]) % P_MOD
+    ninv = pow(n, -1, P_MOD)
+    return (a[0] * ninv % P_MOD, (-a[1]) * ninv % P_MOD)
+
+
+PSI_CX = _fp2_int_inv(_fp2_int_pow((1, 1), (P_MOD - 1) // 3))
+PSI_CY = _fp2_int_inv(_fp2_int_pow((1, 1), (P_MOD - 1) // 2))
+
+_psi_cx_np = None
+_psi_cy_np = None
+
+
+def _psi_consts():
+    global _psi_cx_np, _psi_cy_np
+    if _psi_cx_np is None:
+        _psi_cx_np = fp2_from_ints(*PSI_CX)
+        _psi_cy_np = fp2_from_ints(*PSI_CY)
+    return _psi_cx_np, _psi_cy_np
+
+
+def psi(p):
+    """Device psi on projective (X, Y, Z) Fp2 coords (batched)."""
+    import jax.numpy as jnp
+    cx, cy = _psi_consts()
+    X, Y, Z = p
+    return (FP2.mul(FP2.conj(X), jnp.asarray(cx)),
+            FP2.mul(FP2.conj(Y), jnp.asarray(cy)),
+            FP2.conj(Z))
+
+
+_X_BITS_LSB = np.array([(X_BLS_ABS >> i) & 1 for i in range(64)],
+                       dtype=np.uint32)
+
+
+def _mul_abs_x(p):
+    """[|x|] P via a 64-step branchless ladder."""
+    import jax.numpy as jnp
+    from jax import lax
+    bits = jnp.asarray(_X_BITS_LSB[::-1].copy())  # MSB-first
+    batch = p[0].shape[: p[0].ndim - FP2.suffix_ndim]
+    acc0 = G2.inf(batch)
+
+    def body(i, acc):
+        acc = G2._double(acc)
+        added = G2._add(acc, p)
+        return G2.select(bits[i] == 1, added, acc)
+
+    return lax.fori_loop(0, 64, body, acc0)
+
+
+def _in_subgroup_psi(p):
+    """psi(P) == [x]P == -[|x|]P, plus the on-curve gate."""
+    lhs = psi(p)
+    rhs = G2._neg(_mul_abs_x(p))
+    return G2._eq(lhs, rhs) & G2._is_on_curve(p)
+
+
+_in_subgroup_psi_jit = None
+
+
+def in_subgroup_psi(p):
+    global _in_subgroup_psi_jit
+    if _in_subgroup_psi_jit is None:
+        import jax
+        _in_subgroup_psi_jit = jax.jit(_in_subgroup_psi)
+    return _in_subgroup_psi_jit(p)
+
+
+def in_subgroup_host(x0: int, x1: int, y0: int, y1: int,
+                     is_inf: bool = False) -> bool:
+    """Pure-int psi check for the host setup-load path (kzg/setup.py):
+    no device compile, microseconds per point."""
+    if is_inf:
+        return True
+    # affine Fp2 arithmetic (performance-irrelevant, once per setup)
+    def add(pq, rs):
+        if pq is None:
+            return rs
+        if rs is None:
+            return pq
+        (px, py), (rx, ry) = pq, rs
+        if px == rx:
+            if (py[0] + ry[0]) % P_MOD == 0 and (py[1] + ry[1]) % P_MOD == 0:
+                return None  # P + (-P)
+            # doubling: lam = 3 x^2 / (2 y)
+            num = _fp2_int_mul((3, 0), _fp2_int_mul(px, px))
+            den = _fp2_int_inv(((2 * py[0]) % P_MOD, (2 * py[1]) % P_MOD))
+        else:
+            num = ((ry[0] - py[0]) % P_MOD, (ry[1] - py[1]) % P_MOD)
+            den = _fp2_int_inv(((rx[0] - px[0]) % P_MOD,
+                                (rx[1] - px[1]) % P_MOD))
+        lam = _fp2_int_mul(num, den)
+        x3 = _fp2_int_mul(lam, lam)
+        x3 = ((x3[0] - px[0] - rx[0]) % P_MOD, (x3[1] - px[1] - rx[1]) % P_MOD)
+        y3 = _fp2_int_mul(lam, ((px[0] - x3[0]) % P_MOD,
+                                (px[1] - x3[1]) % P_MOD))
+        y3 = ((y3[0] - py[0]) % P_MOD, (y3[1] - py[1]) % P_MOD)
+        return (x3, y3)
+
+    pt = ((x0 % P_MOD, x1 % P_MOD), (y0 % P_MOD, y1 % P_MOD))
+    # on-curve: y^2 == x^3 + 4(1+u)
+    lhs = _fp2_int_mul(pt[1], pt[1])
+    rhs = _fp2_int_mul(_fp2_int_mul(pt[0], pt[0]), pt[0])
+    rhs = ((rhs[0] + 4) % P_MOD, (rhs[1] + 4) % P_MOD)
+    if lhs != rhs:
+        return False
+    # [|x|] P by double-and-add
+    acc, dbl = None, pt
+    k = X_BLS_ABS
+    while k:
+        if k & 1:
+            acc = add(acc, dbl)
+        k >>= 1
+        if k:
+            dbl = add(dbl, dbl)
+    if acc is None:
+        return False
+    neg_acc = (acc[0], ((-acc[1][0]) % P_MOD, (-acc[1][1]) % P_MOD))
+    # psi(P)
+    px = _fp2_int_mul(PSI_CX, (pt[0][0], (-pt[0][1]) % P_MOD))
+    py = _fp2_int_mul(PSI_CY, (pt[1][0], (-pt[1][1]) % P_MOD))
+    return (px, py) == neg_acc
+
+
 def point_from_ints(x0, x1, y0, y1, is_inf: bool = False):
     if is_inf:
         return tuple(np.asarray(c) for c in G2.inf_np)

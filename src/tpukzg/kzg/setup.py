@@ -31,7 +31,7 @@ from tpukzg.curve.g2 import G2
 from tpukzg.ntt.ntt import NttPlan, get_plan
 from tpukzg.pairing.lines import precompute_lines
 
-_LAYOUT_VERSION = 1
+_LAYOUT_VERSION = 2  # v2: Miller-loop line precompute persisted in the npz
 
 
 def _lagrange_scalars(tau: int, n: int, roots) -> list[int]:
@@ -55,7 +55,8 @@ def _gen_multiples(scalars: list[int]):
 class Setup:
     """Loaded SRS + derived device-side precomputation."""
 
-    def __init__(self, n: int, lagrange_g1, monomial_g1, g2_gen, g2_tau):
+    def __init__(self, n: int, lagrange_g1, monomial_g1, g2_gen, g2_tau,
+                 lines_gen=None, lines_tau=None):
         assert n & (n - 1) == 0
         self.n = n
         self.plan: NttPlan = get_plan(n)
@@ -64,9 +65,16 @@ class Setup:
         self.g2_gen = g2_gen                # projective G2 point tuple
         self.g2_tau = g2_tau
         # Fixed-argument pairing precomputation: line coefficients for the
-        # Miller loops of e(. , [1]_2) and e(. , [tau]_2).
-        self.lines_gen = tuple(np.asarray(c) for c in precompute_lines(g2_gen))
-        self.lines_tau = tuple(np.asarray(c) for c in precompute_lines(g2_tau))
+        # Miller loops of e(. , [1]_2) and e(. , [tau]_2).  Persisted in
+        # the npz cache (layout v2) so `load` costs no device compile —
+        # round 1's driver bench spent most of its 487 s cold-compiling
+        # exactly this path.
+        if lines_gen is None:
+            lines_gen = precompute_lines(g2_gen)
+        if lines_tau is None:
+            lines_tau = precompute_lines(g2_tau)
+        self.lines_gen = tuple(np.asarray(c) for c in lines_gen)
+        self.lines_tau = tuple(np.asarray(c) for c in lines_tau)
 
     # ------------------------------------------------------------------
     # dev-setup generation + npz cache
@@ -108,7 +116,8 @@ class Setup:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         arrs = {"n": np.asarray(self.n)}
         for name, pt in (("lag", self.lagrange_g1), ("mono", self.monomial_g1),
-                         ("g2g", self.g2_gen), ("g2t", self.g2_tau)):
+                         ("g2g", self.g2_gen), ("g2t", self.g2_tau),
+                         ("lng", self.lines_gen), ("lnt", self.lines_tau)):
             for i, c in enumerate(pt):
                 arrs[f"{name}_{i}"] = np.asarray(c)
         tmp = path + ".tmp"
@@ -121,7 +130,12 @@ class Setup:
         n = int(z["n"])
         pts = {name: tuple(z[f"{name}_{i}"] for i in range(3))
                for name in ("lag", "mono", "g2g", "g2t")}
-        return cls(n, pts["lag"], pts["mono"], pts["g2g"], pts["g2t"])
+        lines = {}
+        for name in ("lng", "lnt"):  # (dbl_lines, add_lines) pairs, v2+
+            if f"{name}_0" in z:
+                lines[name] = tuple(z[f"{name}_{i}"] for i in range(2))
+        return cls(n, pts["lag"], pts["mono"], pts["g2g"], pts["g2t"],
+                   lines_gen=lines.get("lng"), lines_tau=lines.get("lnt"))
 
     # ------------------------------------------------------------------
     # production loader: c-kzg-style trusted-setup from compressed bytes
@@ -130,9 +144,12 @@ class Setup:
     @classmethod
     def from_compressed(cls, g1_monomial_bytes: list[bytes],
                         g1_lagrange_bytes: list[bytes],
-                        g2_tau_bytes: bytes):
+                        g2_tau_bytes: bytes, validate: bool = True):
         """Build a Setup from serialized SRS points (the shape of
-        c-kzg-4844's ``load_trusted_setup``); validates encodings."""
+        c-kzg-4844's ``load_trusted_setup``); validates encodings, and
+        (by default) subgroup membership: [tau]_2 via the host psi-
+        endomorphism check (curve/g2.py in_subgroup_host — SURVEY.md
+        component 7), the G1 arrays via one batched device GLV check."""
         from tpukzg.curve import g1 as g1m
         n = len(g1_lagrange_bytes)
         mono_i = [g1m.decompress(b) for b in g1_monomial_bytes]
@@ -140,6 +157,13 @@ class Setup:
         mono = g1_points_from_ints(*zip(*mono_i))
         lag = g1_points_from_ints(*zip(*lag_i))
         x0, x1, y0, y1, inf = g2m.decompress(g2_tau_bytes)
+        if validate:
+            if inf or not g2m.in_subgroup_host(x0, x1, y0, y1, inf):
+                raise ValueError("[tau]_2 not in the G2 subgroup")
+            both = tuple(np.concatenate([np.asarray(a), np.asarray(b)], 0)
+                         for a, b in zip(mono, lag))
+            if not bool(np.all(np.asarray(g1m.in_subgroup_fast(both)))):
+                raise ValueError("G1 SRS point not in subgroup")
         g2_tau = g2m.point_from_ints(x0, x1, y0, y1, inf)
         g2_gen = tuple(np.asarray(c) for c in G2.gen())
         return cls(n, lag, mono, g2_gen, tuple(np.asarray(c) for c in g2_tau))

@@ -59,16 +59,12 @@ def _digits(scalars, c: int):
 
 
 def _segmented_sum_scan(curve, pts, seg):
-    """Inclusive segmented EC-sum scan along axis 1 of (W, n) points."""
-    def combine(a, b):
-        (pa, sa), (pb, sb) = a, b
-        merged = curve._add(pa, pb)
-        keep = sa == sb
-        out = curve.select(keep, merged, pb)
-        return (out, sb)
-
-    (scanned, _) = lax.associative_scan(combine, (pts, seg), axis=1)
-    return scanned
+    """Inclusive segmented EC-sum scan along axis 1 of (W, n) points.
+    Lowering picked by ScanConfig (msm/scan.py): loop (compile-lean,
+    default) or assoc."""
+    from tpukzg.msm.scan import seg_scan
+    return seg_scan(curve._add, curve.select, pts, seg,
+                    coord_axis=1, seg_axis=1)
 
 
 def _take_points(curve, pts, idx, axis=0):
@@ -103,8 +99,10 @@ def _bucket_totals(curve, scanned, sorted_digits, c: int):
 def _window_sums(curve, buckets):
     """R_w = sum_b b * S_b via suffix-scan + tree reduction.
     buckets: points (W, B-1, ...) for b = 1..B-1 -> points (W, ...)."""
-    rev = tuple(c_[:, ::-1] for c_ in buckets)
-    suffix = lax.associative_scan(curve._add, rev, axis=1)
+    from tpukzg.msm.scan import suffix_scan
+    suffix = suffix_scan(curve._add, curve.select, buckets, coord_axis=1,
+                         batch_shape=buckets[0].shape[:2],
+                         scan_axis_in_batch=1)
     return curve._reduce_sum(suffix, axis=1)
 
 

@@ -23,16 +23,11 @@ from tpukzg.msm.pippenger import _digits, default_window
 
 def _seg_scan(curve, pts, seg):
     """Segmented inclusive EC-sum scan along the last (lane) axis.
-    pts coords (L, g, n); seg passed as (1, g, n) so every pytree leaf has
-    rank 3 (associative_scan applies ONE axis index to all leaves)."""
-    def combine(a, b):
-        (pa, sa), (pb, sb) = a, b
-        merged = curve.add(pa, pb)
-        out = curve.select((sa == sb)[0], merged, pb)
-        return (out, sb)
-
-    (scanned, _) = lax.associative_scan(combine, (pts, seg[None]), axis=2)
-    return scanned
+    pts coords (L, g, n); seg (g, n).  Lowering picked by ScanConfig
+    (msm/scan.py): loop (compile-lean, default) or assoc."""
+    from tpukzg.msm.scan import seg_scan
+    return seg_scan(curve.add, curve.select, pts, seg,
+                    coord_axis=2, seg_axis=1)
 
 
 def _bucket_totals(curve, scanned, sorted_dg, c: int):
@@ -50,9 +45,12 @@ def _bucket_totals(curve, scanned, sorted_dg, c: int):
 
 
 def _window_sums(curve, buckets):
-    """sum_b b*S_b via suffix scan over the bucket (lane) axis + reduce."""
-    rev = tuple(c_[..., ::-1] for c_ in buckets)
-    suffix = lax.associative_scan(curve.add, rev, axis=-1)
+    """sum_b b*S_b via suffix scan over the bucket (lane) axis + reduce.
+    buckets coords (L, g, B-1)."""
+    from tpukzg.msm.scan import suffix_scan
+    suffix = suffix_scan(curve.add, curve.select, buckets, coord_axis=2,
+                         batch_shape=buckets[0].shape[1:3],
+                         scan_axis_in_batch=1)
     return curve.reduce_sum_lanes(suffix, axis=1)     # over bucket axis
 
 

@@ -116,3 +116,23 @@ def install() -> None:
         # patching the compilation_cache module is sufficient.
     except Exception:
         pass
+    # The XLA compile itself also recurses deeply on this library's big
+    # modules and can overflow the 8 MB MAIN-thread stack (round-1 crash
+    # was a fatal signal in `compile_or_get_cached`, main thread).  Route
+    # the backend compile calls through the big-stack thread as well.
+    try:
+        from jax._src import compiler as _compiler
+
+        for _name in ("backend_compile", "backend_compile_and_load"):
+            _orig = getattr(_compiler, _name, None)
+            if _orig is None:
+                continue
+
+            def _make(fn):
+                def compile_big(*a, **k):
+                    return _run_on_big_stack(fn, *a, **k)
+                return compile_big
+
+            setattr(_compiler, _name, _make(_orig))
+    except Exception:
+        pass

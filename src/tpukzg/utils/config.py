@@ -40,6 +40,24 @@ class MsmConfig:
 
 
 @dataclass(frozen=True)
+class ScanConfig:
+    """EC-scan lowering for the Pippenger bucket pass (msm/scan.py).
+
+    ``loop``  — Hillis-Steele in one fori_loop: ~20x smaller graphs
+                (compile time / executable size), log2(n) full passes.
+    ``assoc`` — lax.associative_scan: work-efficient but unrolls the
+                combiner ~2*log2(n) times in the graph.
+    """
+    impl: str = "loop"
+
+    @classmethod
+    def from_env(cls):
+        v = os.environ.get("TPUKZG_SCAN_IMPL", "loop")
+        assert v in ("loop", "assoc"), v
+        return cls(impl=v)
+
+
+@dataclass(frozen=True)
 class NttConfig:
     """NTT shape knobs (SURVEY.md components 11, 24)."""
     four_step_rows: int | None = None  # n1 of the (n1, n2) split; None -> sqrt

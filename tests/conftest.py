@@ -25,15 +25,24 @@ import random  # noqa: E402
 
 import jax  # noqa: E402
 
-# Big-stack thread for XLA executable (de)serialization — the ~100 MB
-# cached executables overflow the default stack (see utils/cachefix.py).
+# Big-stack thread for XLA compiles + executable (de)serialization — both
+# overflow the default stack on the big modules (see utils/cachefix.py).
 from tpukzg.utils import cachefix  # noqa: E402
 
 cachefix.install()
 
-# The axon TPU plugin ignores JAX_PLATFORMS=cpu; pin the default device to
-# the (8-virtual-device) CPU backend explicitly so tests never touch the
-# real chip and multi-device sharding tests have a mesh to run on.
+# HARD-isolate tests from the tunneled TPU: the axon plugin's register()
+# overrides jax_platforms to "axon,cpu" (sitecustomize), so env vars are
+# not enough — drop its backend factory and re-pin the platform list.
+# A wedged/slow tunnel must never be able to hang the CPU-only suite
+# (observed 2026-08-17: axon init retries in a sleep loop for minutes).
+try:  # noqa: SIM105
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

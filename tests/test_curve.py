@@ -159,3 +159,39 @@ def test_in_subgroup_fast(rng):
     # infinity is a member
     inf_pt = g1m.points_from_ints([0], [0], [True])
     assert bool(np.asarray(g1m.in_subgroup_fast(inf_pt))[0])
+
+
+def test_g2_psi_subgroup_check(rng):
+    """psi-endomorphism fast check (SURVEY comp. 7): accepts [k]G2,
+    rejects on-curve points outside the r-subgroup; host and device
+    paths agree."""
+    members = [gold.g2_mul(gold.G2_GEN, rng.randrange(gold.R))
+               for _ in range(2)]
+    # on-curve non-subgroup points: x = (v, 1) search via host sqrt
+    outs = []
+    v = 5
+    while len(outs) < 2:
+        v += 1
+        c0 = (v * v * v - 3 * v + 4) % gold.P         # Re (x^3 + 4+4u)
+        c1 = (3 * v * v - 1 + 4) % gold.P             # Im
+        y = g2m._fp2_sqrt_ints(c0, c1)
+        if y is None:
+            continue
+        pt = (gold.Fp2(v, 1), gold.Fp2(*y))
+        assert gold.g2_is_on_curve(gold.g2_from_affine(pt))
+        if not gold.g2_in_subgroup(gold.g2_from_affine(pt)):
+            outs.append((v, 1, y[0], y[1]))
+
+    # host path
+    for gp in members:
+        a = gold.g2_affine(gp)
+        assert g2m.in_subgroup_host(a[0].c0, a[0].c1, a[1].c0, a[1].c1)
+    for (x0, x1, y0, y1) in outs:
+        assert not g2m.in_subgroup_host(x0, x1, y0, y1)
+
+    # device path, one batched call
+    pts = [g2_in(gp) for gp in members] + \
+          [g2m.point_from_ints(x0, x1, y0, y1) for (x0, x1, y0, y1) in outs]
+    batch = tuple(np.stack([np.asarray(p[i]) for p in pts]) for i in range(3))
+    got = np.asarray(g2m.in_subgroup_psi(batch))
+    assert got.tolist() == [True, True, False, False]

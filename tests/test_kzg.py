@@ -148,3 +148,35 @@ def test_coeff_form_paths(case, ts, rng):
     pi_c, y_c = kzg.open_coeff(coeffs, z)
     assert g1m.compress_point(pi_c) == g1m.compress_point(pi_e)
     assert np.asarray(y_c).tolist() == np.asarray(y_e).tolist()
+
+
+def test_from_compressed_validates_g2(ts, gs):
+    """Setup.from_compressed must reject a non-subgroup [tau]_2
+    (SURVEY comp. 7 / VERDICT r1 item 7)."""
+    from tpukzg.curve import g1 as g1m, g2 as g2m
+    from tpukzg.kzg.setup import Setup
+
+    mono_b = [g1m.compress_point(tuple(np.asarray(c)[i] for c in ts.monomial_g1))
+              for i in range(ts.n)]
+    lag_b = [g1m.compress_point(tuple(np.asarray(c)[i] for c in ts.lagrange_g1))
+             for i in range(ts.n)]
+    tau_b = g2m.compress_point(ts.g2_tau)
+
+    # valid SRS loads (and validates) fine
+    s2 = Setup.from_compressed(mono_b, lag_b, tau_b)
+    assert s2.n == ts.n
+
+    # non-subgroup on-curve G2 point must be rejected
+    v = 5
+    while True:
+        v += 1
+        c0 = (v * v * v - 3 * v + 4) % gold.P
+        c1 = (3 * v * v - 1 + 4) % gold.P
+        y = g2m._fp2_sqrt_ints(c0, c1)
+        if y is None:
+            continue
+        if not g2m.in_subgroup_host(v, 1, y[0], y[1]):
+            bad = g2m.compress(v, 1, y[0], y[1], False)
+            break
+    with pytest.raises(ValueError):
+        Setup.from_compressed(mono_b, lag_b, bad)

@@ -88,3 +88,14 @@ def test_pippenger_lm_edge_cases(msm_case, rng):
     x, y, inf = g1m.point_to_ints(res)
     got = None if bool(inf) else (x, y)
     assert got == expect
+
+
+@pytest.mark.parametrize("impl", ["loop", "assoc"])
+def test_scan_impls_bit_exact(msm_case, impl, monkeypatch):
+    """Both EC-scan lowerings (msm/scan.py) produce identical MSMs."""
+    monkeypatch.setenv("TPUKZG_SCAN_IMPL", impl)
+    pts, scal, _, _, expect = msm_case
+    pip2 = Pippenger(G1, window_chunk=8)
+    x, y, inf = g1m.point_to_ints(pip2.msm(pts, scal, c=5))
+    assert not bool(inf)
+    assert (x, y) == expect
