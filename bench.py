@@ -48,7 +48,8 @@ cachefix.install()
 TARGET = 1e6  # verifications/sec north star (BASELINE.json:5)
 _T0 = time.time()
 
-_state = {"emitted": False, "best": None, "k": 0, "n": 0, "phase": "init"}
+_state = {"emitted": False, "best": None, "k": 0, "n": 0, "phase": "init",
+          "plat": "1 chip"}
 
 
 def log(*a):
@@ -63,7 +64,8 @@ def emit(value_vps):
     print(json.dumps({
         "metric": "batched_kzg_blob_verifications_per_sec",
         "value": round(value_vps, 2),
-        "unit": f"verifications/s (k={_state['k']}, n={_state['n']}, 1 chip)",
+        "unit": (f"verifications/s (k={_state['k']}, n={_state['n']}, "
+                 f"{_state['plat']})"),
         "vs_baseline": round(value_vps / TARGET, 6),
     }), flush=True)
 
@@ -102,8 +104,38 @@ def fixture_path(n: int, distinct: int) -> str:
                         f"triples_n{n}_d{distinct}.npz")
 
 
+def _tpu_alive(probe_timeout_s: int) -> bool:
+    """Probe the tunneled TPU in a SUBPROCESS: a wedged tunnel hangs
+    jax backend init indefinitely (observed 2026-08-17), and that must
+    not take the bench down with rc=124 and no output."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            timeout=probe_timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    probe_s = int(os.environ.get("TPUKZG_BENCH_TPU_PROBE_S", "240"))
+    on_tpu = _tpu_alive(probe_s)
+    if not on_tpu:
+        log(f"TPU tunnel unavailable after {probe_s}s probe — "
+            "falling back to CPU so a result line still emits")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
+
+    if not on_tpu:
+        try:
+            from jax._src import xla_bridge as _xb
+            _xb._backend_factories.pop("axon", None)
+        except Exception:
+            pass
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -117,7 +149,8 @@ def main():
     reps = int(os.environ.get("TPUKZG_BENCH_REPS", "3"))
     budget = float(os.environ.get("TPUKZG_BENCH_BUDGET", "480"))
     distinct = min(k, int(os.environ.get("TPUKZG_BENCH_DISTINCT", "16")))
-    _state.update(k=k, n=n)
+    _state.update(k=k, n=n,
+                  plat="1 chip" if on_tpu else "CPU FALLBACK, tunnel down")
     log(f"devices={jax.devices()} n={n} k={k} distinct={distinct}")
 
     _state["phase"] = "setup-load"

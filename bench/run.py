@@ -1,12 +1,19 @@
 """Per-kernel benchmark harness with roofline comparison (SURVEY comp. 30).
 
-Usage:  python bench/run.py [--kernels montmul,ecadd,msm,ntt,pairing,batch]
+Usage:  python bench/run.py [--kernels montmul,ecadd,msm,ntt,pairing,pipeline,batch]
                             [--n 1048576] [--out bench/results.jsonl]
 
+Named BASELINE.json acceptance configs:
+  * config 3 (BASELINE.json:9):  ``--kernels msm --n 1048576`` — 2^20-point
+    G1 Pippenger through the production limb-major path, point-adds/s/chip.
+  * config 4 (BASELINE.json:10): ``--kernels pipeline`` — 2^18-coeff
+    NTT -> barycentric eval -> quotient -> commit MSM, one jitted program.
+
 Each kernel is timed steady-state (warmup + best-of-R) on the default
-device, and the record of SURVEY.md section 5.5 is appended to the JSONL
-output (config, chips, wall_s, ops/s, %SoL).  bench.py at the repo root
-stays the single-line headline wrapper; this file is the full sweep.
+device; records follow the utils/obs.metric_record schema (SURVEY 5.5)
+with the utils/config dataclasses embedded, appended to JSONL.  RESULTS.md
+tables regenerate from that JSONL via bench/report.py — no hand-edited
+numbers.  bench.py at the repo root stays the single-line headline wrapper.
 """
 
 from __future__ import annotations
@@ -25,108 +32,195 @@ for p in (REPO, os.path.join(REPO, "src")):
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
 os.environ.setdefault("TPUKZG_CACHE_DIR", os.path.join(REPO, ".srs_cache"))
 
+from tpukzg.utils import cachefix  # noqa: E402
 
-def _timeit(f, *args, reps=10):
+cachefix.install()
+
+from tpukzg.utils.obs import get_logger, metric_record, trace, dump_jsonl  # noqa: E402
+from tpukzg.utils.config import (FieldConfig, MsmConfig, ScanConfig,  # noqa: E402
+                                 NttConfig, as_json_dict)
+
+LOG = get_logger("bench")
+
+
+def _timeit(f, *args, reps=10, name="kernel"):
     import jax
-    out = f(*args)
-    jax.block_until_ready(out)
+    with trace(f"warmup/{name}", LOG):
+        out = f(*args)
+        jax.block_until_ready(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = f(*args)
-        jax.block_until_ready(out)
+        with trace(name, LOG):
+            out = f(*args)
+            jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     return best
 
 
+def _configs():
+    return as_json_dict(FieldConfig(), MsmConfig.from_env(),
+                        ScanConfig.from_env(), NttConfig.from_env())
+
+
 def bench_montmul(n):
-    import jax, numpy as np
+    import numpy as np
     from tpukzg.field.mont import FP
     from bench.roofline import V5E, sol_montmul_per_s, pct
     rng = np.random.default_rng(0)
     a = rng.integers(0, 1 << 16, size=(n, FP.L), dtype=np.uint32)
     b = rng.integers(0, 1 << 16, size=(n, FP.L), dtype=np.uint32)
-    t = _timeit(FP.mul, a, b)
+    t = _timeit(FP.mul, a, b, name="montmul")
     rate = n / t
-    return {"kernel": "montmul_fp", "n": n, "wall_s": t,
-            "ops_per_s": rate, "pct_sol": pct(rate, sol_montmul_per_s(V5E, FP.L))}
+    return {"kernel": "montmul_fp", "n": n,
+            "ops_per_s": rate,
+            **metric_record(config=_configs(), chips=1, hosts=1, wall_s=t,
+                            sol_flop=pct(rate, sol_montmul_per_s(V5E, FP.L)))}
+
+
+def bench_montmul_mxu(n):
+    """MXU-REDC montmul prototype (field/mxu.py) vs the VPU path."""
+    import jax
+    import numpy as np
+    from tpukzg.field.mont import FP
+    from tpukzg.field.mxu import montmul_mxu
+    from bench.roofline import V5E, sol_montmul_per_s, pct
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 16, size=(n, FP.L), dtype=np.uint32)
+    b = rng.integers(0, 1 << 16, size=(n, FP.L), dtype=np.uint32)
+    f = jax.jit(lambda x, y: montmul_mxu(x, y, FP))
+    t = _timeit(f, a, b, name="montmul_mxu")
+    rate = n / t
+    return {"kernel": "montmul_fp_mxu", "n": n, "ops_per_s": rate,
+            **metric_record(config=_configs(), chips=1, hosts=1, wall_s=t,
+                            sol_flop=pct(rate, sol_montmul_per_s(V5E, FP.L)))}
 
 
 def bench_ecadd(n):
-    import numpy as np
     from tpukzg.curve.g1 import G1
     from bench.roofline import V5E, sol_ec_adds_per_s, pct
     p = G1.gen((n,))
     q = G1.double(p)
-    t = _timeit(G1.add, p, q)
+    t = _timeit(G1.add, p, q, name="ecadd")
     rate = n / t
-    return {"kernel": "g1_add_complete", "n": n, "wall_s": t,
-            "ops_per_s": rate, "pct_sol": pct(rate, sol_ec_adds_per_s(V5E))}
+    return {"kernel": "g1_add_complete", "n": n, "ops_per_s": rate,
+            **metric_record(config=_configs(), chips=1, hosts=1, wall_s=t,
+                            sol_flop=pct(rate, sol_ec_adds_per_s(V5E)))}
 
 
 def bench_msm(n, c=None):
+    """BASELINE config 3 at n=2^20: production limb-major Pippenger."""
     import numpy as np
-    from tpukzg.field.mont import FR
     from tpukzg.curve.g1 import G1
-    from tpukzg.msm.pippenger import Pippenger, default_window
-    from bench.roofline import V5E, sol_msm_per_s, msm_ec_adds, sol_ec_adds_per_s, pct
-    c = c or default_window(n)
+    from tpukzg.msm.pippenger import default_window
+    from tpukzg.msm.pippenger_lm import PippengerLM
+    from bench.roofline import V5E, sol_msm_per_s, msm_ec_adds, pct
+    mc = MsmConfig.from_env()
+    c = c or mc.window or default_window(n)
     rng = np.random.default_rng(0)
     ks = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
     ks[:, -1] &= 0x7FFF
     base = G1.gen((n,))  # same point n times; timing-equivalent to random
-    pip = Pippenger(G1)
-    t = _timeit(lambda p_, k_: pip._jit(p_, k_, c=c), base, ks, reps=5)
+    pip = PippengerLM(window=mc.window, window_chunk=mc.window_chunk)
+    t = _timeit(lambda p_, k_: pip._jit(p_, k_, c=c), base, ks, reps=5,
+                name="msm")
     adds = msm_ec_adds(n, c)
-    return {"kernel": "pippenger_msm_g1", "n": n, "window": c, "wall_s": t,
-            "msm_per_s": 1.0 / t, "point_adds_per_s": adds / t,
-            "pct_sol": pct(1.0 / t, sol_msm_per_s(V5E, n, c))}
+    return {"kernel": "pippenger_msm_g1_lm", "n": n, "window": c,
+            "msm_per_s": 1.0 / t,
+            **metric_record(config=_configs(), chips=1, hosts=1, wall_s=t,
+                            point_adds_per_s_chip=adds / t,
+                            sol_flop=pct(1.0 / t, sol_msm_per_s(V5E, n, c)))}
 
 
 def bench_ntt(n):
     import numpy as np
-    from tpukzg.field.mont import FR
     from tpukzg.ntt.ntt import get_plan
     from bench.roofline import V5E, sol_montmul_per_s, pct
     plan = get_plan(n)
     rng = np.random.default_rng(0)
     v = rng.integers(0, 1 << 14, size=(n, 16), dtype=np.uint32)
-    t = _timeit(plan.ntt, v)
+    t = _timeit(plan.ntt, v, name="ntt")
     muls = n // 2 * (n.bit_length() - 1)
-    return {"kernel": "ntt_fr", "n": n, "wall_s": t, "ntt_per_s": 1.0 / t,
-            "pct_sol": pct(muls / t, sol_montmul_per_s(V5E, 16))}
+    return {"kernel": "ntt_fr", "n": n, "ntt_per_s": 1.0 / t,
+            **metric_record(config=_configs(), chips=1, hosts=1, wall_s=t,
+                            sol_flop=pct(muls / t, sol_montmul_per_s(V5E, 16)))}
 
 
 def bench_pairing():
-    import numpy as np
     from tpukzg.curve.g1 import G1
     from tpukzg.curve.g2 import G2
     from tpukzg.pairing.check import pairing
-    t = _timeit(pairing, G1.gen(), G2.gen(), reps=5)
-    return {"kernel": "pairing", "wall_s": t, "pairings_per_s": 1.0 / t}
+    t = _timeit(pairing, G1.gen(), G2.gen(), reps=5, name="pairing")
+    return {"kernel": "pairing", "pairings_per_s": 1.0 / t,
+            **metric_record(config=_configs(), chips=1, hosts=1, wall_s=t)}
+
+
+def bench_pipeline(n=1 << 18):
+    """BASELINE config 4 (BASELINE.json:10): full coefficient-form open —
+    2^18-coeff NTT to evaluation form + barycentric eval + evaluation-form
+    quotient + commit MSM, ONE jitted program.  The SRS basis is the
+    generator broadcast n times: timing-equivalent to a real SRS (MSM cost
+    is independent of point values) without a 2^18 trusted-setup build."""
+    import jax
+    import numpy as np
+    from tpukzg.field.mont import FR
+    from tpukzg.curve.g1 import G1
+    from tpukzg.ntt.ntt import get_plan
+    from tpukzg.poly.poly import barycentric_eval, eval_form_quotient
+    from tpukzg.msm.pippenger import default_window
+    from tpukzg.msm.pippenger_lm import PippengerLM
+    from bench.roofline import V5E, sol_msm_per_s, msm_ec_adds, pct
+
+    mc = MsmConfig.from_env()
+    c = mc.window or default_window(n)
+    plan = get_plan(n)
+    pip = PippengerLM(window=mc.window, window_chunk=mc.window_chunk)
+    pts = G1.gen((n,))
+
+    def open_coeff(points, coeffs_mont, z_mont):
+        evals = plan._ntt(coeffs_mont)
+        y = barycentric_eval(plan, evals, z_mont)
+        q = eval_form_quotient(plan, evals, z_mont, y)
+        return pip._msm_public(points, FR.from_mont(q), c=c), y
+
+    jfn = jax.jit(open_coeff)
+    rng = np.random.default_rng(0)
+    coeffs = rng.integers(0, 1 << 14, size=(n, 16), dtype=np.uint32)
+    z = np.asarray(FR.to_mont(FR.from_int(0x5EED5EED)))
+    t = _timeit(jfn, pts, coeffs, z, reps=5, name="pipeline")
+    adds = msm_ec_adds(n, c)
+    return {"kernel": "open_coeff_pipeline", "n": n, "window": c,
+            "opens_per_s": 1.0 / t,
+            **metric_record(config=_configs(), chips=1, hosts=1, wall_s=t,
+                            point_adds_per_s_chip=adds / t,
+                            sol_flop=pct(1.0 / t, sol_msm_per_s(V5E, n, c)))}
 
 
 def bench_batch(k=64, n=4096):
-    import tpukzg, numpy as np
+    import tpukzg
+    import numpy as np
     from tpukzg.field.mont import R_MOD
     ts = tpukzg.generate_insecure_setup(0xDEADBEEF, n)
     rng = np.random.default_rng(1)
     blobs = [b"".join(int(x % R_MOD).to_bytes(32, "big")
                       for x in rng.integers(0, 1 << 62, size=n))
              for _ in range(k)]
-    cs = [tpukzg.blob_to_kzg_commitment(b, ts) for b in blobs]
-    pfs = [tpukzg.compute_blob_kzg_proof(b, c, ts) for b, c in zip(blobs, cs)]
+    cs = tpukzg.blob_to_kzg_commitment_batch(blobs, ts)
+    pfs = tpukzg.compute_blob_kzg_proof_batch(blobs, cs, ts)
     t = _timeit(lambda: tpukzg.verify_blob_kzg_proof_batch(blobs, cs, pfs, ts),
-                reps=3)
+                reps=3, name="batch")
     return {"kernel": "verify_blob_kzg_proof_batch", "k": k, "n": n,
-            "wall_s": t, "verifications_per_s": k / t}
+            **metric_record(config=_configs(), chips=1, hosts=1, wall_s=t,
+                            verifications_per_s=k / t)}
 
 
 KERNELS = {"montmul": lambda a: bench_montmul(a.n),
+           "montmul_mxu": lambda a: bench_montmul_mxu(a.n),
            "ecadd": lambda a: bench_ecadd(a.n),
            "msm": lambda a: bench_msm(a.n),
            "ntt": lambda a: bench_ntt(min(a.n, 1 << 18)),
            "pairing": lambda a: bench_pairing(),
+           "pipeline": lambda a: bench_pipeline(),
            "batch": lambda a: bench_batch()}
 
 
@@ -147,8 +241,7 @@ def main():
         rec = KERNELS[name.strip()](args)
         rec.update(meta)
         print(json.dumps(rec), flush=True)
-        with open(args.out, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        dump_jsonl(args.out, rec)
 
 
 if __name__ == "__main__":

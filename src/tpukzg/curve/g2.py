@@ -91,10 +91,20 @@ _psi_cy_np = None
 
 
 def _psi_consts():
+    # Pure-host Montgomery lift (x*R mod p as python ints): this runs
+    # lazily, possibly INSIDE a jit trace of in_subgroup_psi, where the
+    # jitted FP.to_mont would return a tracer and np.asarray would throw
+    # TracerArrayConversionError (round-2 test failure).
     global _psi_cx_np, _psi_cy_np
     if _psi_cx_np is None:
-        _psi_cx_np = fp2_from_ints(*PSI_CX)
-        _psi_cy_np = fp2_from_ints(*PSI_CY)
+        from tpukzg.field.mont import int_to_limbs
+
+        def lift(c):
+            return np.stack([int_to_limbs(c[0] * FP.R % P_MOD, FP.L),
+                             int_to_limbs(c[1] * FP.R % P_MOD, FP.L)])
+
+        _psi_cx_np = lift(PSI_CX)
+        _psi_cy_np = lift(PSI_CY)
     return _psi_cx_np, _psi_cy_np
 
 

@@ -57,6 +57,9 @@ class DistNtt:
         self.axis = self.cfg.axis
         self.n_dev = self.mesh.devices.size
         # Balanced split by default; both factors must be >= n_dev shards.
+        if n1 is None:
+            from tpukzg.utils.config import NttConfig
+            n1 = NttConfig.from_env().four_step_rows
         log_n = n.bit_length() - 1
         self.n1 = n1 or (1 << (log_n // 2))
         self.n2 = n // self.n1

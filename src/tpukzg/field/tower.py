@@ -274,9 +274,47 @@ class Fp12Ops:
         return self.build(num[..., 0, :, :, :], num[..., 1, :, :, :])
 
     def cyclotomic_sqr(self, a):
-        """Squaring for elements of the cyclotomic subgroup (norm 1).
-        Plain complex squaring for now; Granger-Scott is a later perf pass."""
-        return self.sqr(a)
+        """Granger-Scott squaring for the cyclotomic subgroup (eprint 2010/542).
+
+        View Fp12 = Fp4[w]-triple with Fp4 = Fp2[y]/(y^2 - xi), y = w^3;
+        the w^k coefficient lives at component (i=k%2, j=k//2).  The three
+        Fp4 squarings cost 9 Fp2 squarings total — issued as ONE batched
+        FP2.sqr of a 9-component stack — vs 18 Fp2 muls for the generic
+        sqr().  Valid only for norm-1 elements (post easy-part); the
+        differential test checks it against sqr() on real pairing outputs.
+        """
+        f2 = self.fp2
+        z = [a[..., k % 2, k // 2, :, :] for k in range(6)]  # w^k coeffs
+        pairs = ((z[0], z[3]), (z[1], z[4]), (z[2], z[5]))   # (c, c*y) per Fp4
+        comps = []
+        for c0, c1 in pairs:
+            comps += [c0, c1, f2.add(c0, c1)]
+        s = f2.sqr(_stack(comps, axis=-3))
+        t = []
+        for gi in range(3):
+            s0 = s[..., 3 * gi, :, :]       # c0^2
+            s1 = s[..., 3 * gi + 1, :, :]   # c1^2
+            sv = s[..., 3 * gi + 2, :, :]   # (c0+c1)^2
+            t0 = f2.add(s0, f2.mul_by_nonresidue(s1))   # c0^2 + xi c1^2
+            t1 = f2.sub(f2.sub(sv, s0), s1)             # 2 c0 c1
+            t.append((t0, t1))
+        (tA0, tA1), (tB0, tB1), (tC0, tC1) = t
+
+        def m3p2(tt, zz):  # 3t + 2z
+            return f2.add(f2.double(f2.add(tt, zz)), tt)
+
+        def m3m2(tt, zz):  # 3t - 2z
+            return f2.add(f2.double(f2.sub(tt, zz)), tt)
+
+        o0 = m3m2(tA0, z[0])                         # w^0
+        o3 = m3p2(tA1, z[3])                         # w^3
+        o2 = m3m2(tB0, z[2])                         # w^2 <- sq of (w^1,w^4)
+        o5 = m3p2(tB1, z[5])                         # w^5
+        o1 = m3p2(f2.mul_by_nonresidue(tC1), z[1])   # w^1 <- sq of (w^2,w^5)
+        o4 = m3m2(tC0, z[4])                         # w^4
+        c0 = _stack([o0, o2, o4], axis=-3)
+        c1 = _stack([o1, o3, o5], axis=-3)
+        return self.build(c0, c1)
 
     # ---- Frobenius ----
 

@@ -129,29 +129,16 @@ class BlobKzg:
             raise ValueError("blob element out of Fr range")
         return mont
 
-    def _decompress_g1_batch(self, byte_list: list[bytes], check_subgroup=True):
-        ints = [g1m.decompress(b) for b in byte_list]
-        pts = g1m.points_from_ints(*zip(*ints))
-        if check_subgroup:
-            ok = np.asarray(g1m.in_subgroup_fast(pts))
-            if not bool(np.all(ok)):
-                raise ValueError("G1 point not in subgroup")
-        return pts
-
     def _decompress_g1_two_async(self, byte_list_a, byte_list_b):
-        """Decompress two point lists and subgroup-check them in ONE
-        batched device call: the check is latency-bound (fixed 126-double
-        chain), so checking 2k points costs the same wall time as k.
-        Returns (pts_a, pts_b, ok_device) WITHOUT syncing — the caller
-        folds `ok_device` into its final verdict so the check overlaps
-        later dispatches and host-side hashing."""
-        a = self._decompress_g1_batch(byte_list_a, check_subgroup=False)
-        b = self._decompress_g1_batch(byte_list_b, check_subgroup=False)
+        """Decompress + sqrt + on-curve + subgroup-check two point lists
+        in ONE batched device program (g1.decompress_batch): the checks
+        are latency-bound (fixed pow/double chains), so 2k points cost
+        the wall time of k.  Returns (pts_a, pts_b, ok_device) WITHOUT
+        syncing — the caller folds `ok_device` into its final verdict so
+        the device work overlaps later dispatches and host hashing."""
+        pts, ok = g1m.decompress_batch(list(byte_list_a) + list(byte_list_b))
         ka = len(byte_list_a)
-        both = tuple(np.concatenate([np.asarray(x), np.asarray(y)], axis=0)
-                     for x, y in zip(a, b))
-        ok = g1m.in_subgroup_fast(both)
-        return (tuple(c[:ka] for c in both), tuple(c[ka:] for c in both), ok)
+        return (tuple(c[:ka] for c in pts), tuple(c[ka:] for c in pts), ok)
 
     def _decompress_g1_two(self, byte_list_a, byte_list_b):
         a, b, ok = self._decompress_g1_two_async(byte_list_a, byte_list_b)

@@ -58,9 +58,12 @@ class PippengerLM:
     def __init__(self, window: int | None = None,
                  window_chunk: int | None = None,
                  chunk_budget_bytes: int = 1 << 28):
+        from tpukzg.utils.config import MsmConfig
+        env = MsmConfig.from_env()
         self.curve = G1_LM
-        self.window = window
-        self.window_chunk = window_chunk
+        self.window = window if window is not None else env.window
+        self.window_chunk = (window_chunk if window_chunk is not None
+                             else env.window_chunk)
         self.chunk_budget_bytes = chunk_budget_bytes
         self._jit = jax.jit(self._msm_public, static_argnames=("c",))
         self._jit_batch = jax.jit(self._msm_batch_public,

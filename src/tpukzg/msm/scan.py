@@ -43,6 +43,15 @@ def seg_scan(add_fn, select_fn, pts, seg, *, coord_axis: int, seg_axis: int,
     mask over the coord arrays.
     """
     impl = impl or ScanConfig.from_env().impl
+    if impl == "pallas":
+        # VMEM-fused kernel (pallas/bucket.py): limb-major G1 coords
+        # (L, g, n) only; anything else falls back to loop mode.
+        if (len(pts) == 3 and pts[0].ndim == 3 and coord_axis == 2
+                and pts[0].shape[0] == 24):
+            from tpukzg.pallas.bucket import seg_scan_pallas
+            interpret = jax.default_backend() == "cpu"
+            return seg_scan_pallas(pts, seg, interpret=interpret)
+        impl = "loop"
     if impl == "assoc":
         # associative_scan applies ONE axis index to every pytree leaf:
         # expand seg to the coord rank, placing its scan axis at

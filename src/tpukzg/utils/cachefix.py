@@ -88,6 +88,23 @@ def install() -> None:
     if _installed:
         return
     _installed = True
+    # Raise RLIMIT_STACK so every pthread created AFTER this point (XLA's
+    # internal compilation worker threads included) gets a large default
+    # stack: the round-1/2 fatal crashes were segfaults inside
+    # backend_compile_and_load even when the CALLING thread had a 2 GB
+    # stack — the recursion runs on XLA's own pool threads, whose default
+    # stack is RLIMIT_STACK at thread-creation time.  (The main thread's
+    # already-mapped stack is unaffected; that's what the dedicated
+    # big-stack thread below is for.)
+    try:
+        import resource
+        want = 512 << 20
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        cap = want if hard == resource.RLIM_INFINITY else min(want, hard)
+        if soft != resource.RLIM_INFINITY and (soft < cap):
+            resource.setrlimit(resource.RLIMIT_STACK, (cap, hard))
+    except Exception:
+        pass
     try:
         from jax._src import compilation_cache as _cc
 
@@ -101,11 +118,48 @@ def install() -> None:
                 key = module_name
             if key in _crashed_modules():
                 return None  # serialize crashed a previous run: skip
+            # XLA CPU's executable.serialize() SEGFAULTS on some of this
+            # library's executables even on a 2 GB-stack thread (repro:
+            # cpu:jit__verify, 2026-08-17).  Serialize + write in a
+            # FORKED CHILD: the cache file still lands on disk, and a
+            # crashing child cannot take the test/bench process down.
+            try:
+                pid = os.fork()
+            except OSError:
+                pid = None  # no fork (unlikely): fall back to in-process
+            if pid is None:
+                _mark(key)
+                out = _run_on_big_stack(_orig_put, cache_key, module_name,
+                                        executable, backend, *a, **k)
+                _unmark(key)
+                return out
+            if pid == 0:
+                # child: write the cache entry, exit hard (no atexit /
+                # buffered-IO replay of the parent's state)
+                try:
+                    _run_on_big_stack(_orig_put, cache_key, module_name,
+                                      executable, backend, *a, **k)
+                    os._exit(0)
+                except BaseException:
+                    os._exit(1)
+            # parent: reap with a timeout; a wedged/crashed child is
+            # killed and the module marked so we stop re-trying it
+            import time as _time
+            deadline = _time.time() + 300
+            while _time.time() < deadline:
+                done, status = os.waitpid(pid, os.WNOHANG)
+                if done:
+                    if status != 0:
+                        _mark(key)
+                    return None
+                _time.sleep(0.05)
+            try:
+                os.kill(pid, 9)
+                os.waitpid(pid, 0)
+            except OSError:
+                pass
             _mark(key)
-            out = _run_on_big_stack(_orig_put, cache_key, module_name,
-                                    executable, backend, *a, **k)
-            _unmark(key)
-            return out
+            return None
 
         def get_big(*a, **k):
             return _run_on_big_stack(_orig_get, *a, **k)

@@ -53,6 +53,71 @@ def montmul_golden(a, b, params):
                     dtype=np.uint32)
 
 
+def shadow_montmul_lm(a_lm, b_lm, params):
+    """int64 SHADOW of the limb-major Montgomery core (pallas/montmul.py
+    `_montmul_lm_core`): replays the exact same column-sum / carry /
+    reduction structure in numpy int64 and ASSERTS every intermediate
+    stays below 2^32 (the u32 lane width) — the interpret-mode overflow
+    audit SURVEY.md section 5.2 calls for.  Returns (result, bounds).
+
+    a_lm, b_lm: (L, N) u32 16-bit limbs.  Differential equality with the
+    device kernel is asserted by the caller (tests/test_pallas.py)."""
+    a = np.asarray(a_lm, np.int64)
+    b = np.asarray(b_lm, np.int64)
+    L = params.L
+    bounds: dict[str, int] = {}
+
+    def track(name, arr):
+        m = int(arr.max()) if arr.size else 0
+        bounds[name] = max(bounds.get(name, 0), m)
+        assert m < (1 << 32), (
+            f"TPUKZG_CHECKED shadow: {name} intermediate {m:#x} overflows "
+            f"u32 (limb layout L={L})")
+        return arr
+
+    def prod_cols(x, y, n_cols):
+        cols = np.zeros((n_cols,) + x.shape[1:], np.int64)
+        for i in range(L):
+            o = track("product", x[i][None] * y)
+            lo, hi = o & 0xFFFF, o >> 16
+            w = min(L, n_cols - i)
+            if w > 0:
+                cols[i:i + w] += lo[:w]
+            w = min(L, n_cols - i - 1)
+            if w > 0:
+                cols[i + 1:i + 1 + w] += hi[:w]
+            track("column_sum", cols)
+        return cols
+
+    def carry(x):
+        out = np.zeros_like(x)
+        c = np.zeros(x.shape[1:], np.int64)
+        for i in range(x.shape[0]):
+            t = track("carry_add", x[i] + c)
+            out[i] = t & 0xFFFF
+            c = t >> 16
+        return out, c
+
+    mu = np.asarray(params.mu_limbs, np.int64)[:, None]
+    pm = np.asarray(params.mod_limbs, np.int64)[:, None]
+    t, _ = carry(prod_cols(a, b, 2 * L))
+    m, _ = carry(prod_cols(t[:L], np.broadcast_to(mu, (L,) + a.shape[1:]), L))
+    mp = prod_cols(m, np.broadcast_to(pm, (L,) + a.shape[1:]), 2 * L)
+    s, cout = carry(track("t_plus_mp", t + mp))
+    res = s[L:]
+    # conditional subtract
+    val = np.zeros(a.shape[1:], dtype=object)
+    for i in reversed(range(L)):
+        val = val * 65536 + res[i]
+    ge = (cout > 0) | (val >= params.modulus)
+    val2 = np.where(ge, val - params.modulus, val)
+    out = np.zeros((L,) + a.shape[1:], np.uint32)
+    for i in range(L):
+        out[i] = (val2 % 65536).astype(np.uint32)
+        val2 = val2 // 65536
+    return out, bounds
+
+
 def cios_bound_certificate(limb_bits: int = 16,
                            acc_bits: int = 32) -> dict:
     """Executable static proof of the CIOS accumulator bound: with

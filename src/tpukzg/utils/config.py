@@ -29,13 +29,13 @@ class FieldConfig:
 class MsmConfig:
     """Pippenger tuning (SURVEY.md component 9-10)."""
     window: int | None = None          # None -> default_window(n)
-    window_chunk: int = 8              # windows per lax.map step
+    window_chunk: int | None = None    # rows per lax.map step; None -> auto
     bucket_algo: str = "sort"          # sort | (future: onehot)
 
     @classmethod
     def from_env(cls):
         return cls(window=_env("MSM_WINDOW", None),
-                   window_chunk=_env("MSM_WINDOW_CHUNK", 8),
+                   window_chunk=_env("MSM_WINDOW_CHUNK", None),
                    bucket_algo=os.environ.get("TPUKZG_MSM_BUCKET_ALGO", "sort"))
 
 
@@ -43,17 +43,19 @@ class MsmConfig:
 class ScanConfig:
     """EC-scan lowering for the Pippenger bucket pass (msm/scan.py).
 
-    ``loop``  — Hillis-Steele in one fori_loop: ~20x smaller graphs
-                (compile time / executable size), log2(n) full passes.
-    ``assoc`` — lax.associative_scan: work-efficient but unrolls the
-                combiner ~2*log2(n) times in the graph.
+    ``loop``   — Hillis-Steele in one fori_loop: ~20x smaller graphs
+                 (compile time / executable size), log2(n) full passes.
+    ``assoc``  — lax.associative_scan: work-efficient but unrolls the
+                 combiner ~2*log2(n) times in the graph.
+    ``pallas`` — VMEM-fused Hillis-Steele kernel (pallas/bucket.py) for
+                 limb-major G1; other shapes fall back to ``loop``.
     """
     impl: str = "loop"
 
     @classmethod
     def from_env(cls):
         v = os.environ.get("TPUKZG_SCAN_IMPL", "loop")
-        assert v in ("loop", "assoc"), v
+        assert v in ("loop", "assoc", "pallas"), v
         return cls(impl=v)
 
 

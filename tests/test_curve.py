@@ -132,6 +132,40 @@ def test_g2_codec_matches_golden(rng):
     assert g2m.compress_point(g2_in(gp)) == gold.g2_compress(gp)
 
 
+def test_g1_decompress_batch_device(rng):
+    """Batched device decompression (sqrt + sign + checks on device) vs
+    golden, incl. both sign flags, infinity, a not-on-curve x, and an
+    on-curve point outside the r-subgroup."""
+    ps = [gold.g1_mul(gold.G1_GEN, rng.randrange(gold.R)) for _ in range(4)]
+    byte_list = [gold.g1_compress(p) for p in ps]
+    byte_list.append(gold.g1_compress(gold.G1_INF))   # infinity
+    # x not on curve: find x with x^3+4 a non-residue
+    x = 1
+    while gold.fp_sqrt((x * x * x + 4) % gold.P) is not None:
+        x += 1
+    byte_list.append(bytes([0x80 | (x >> 376)]) + (x % (1 << 376)).to_bytes(47, "big"))
+    # on-curve but outside the subgroup
+    x = 1
+    outside = None
+    while outside is None:
+        x += 1
+        y = gold.fp_sqrt((x * x * x + 4) % gold.P)
+        if y is not None and not gold.g1_in_subgroup(gold.g1_from_affine((x, y))):
+            outside = (x, y)
+    byte_list.append(gold.g1_compress(gold.g1_from_affine(outside)))
+
+    pts, ok = g1m.decompress_batch(byte_list)
+    assert np.asarray(ok).tolist() == [True] * 5 + [False, False]
+    for i, p in enumerate(ps):
+        assert g1_out(tuple(c[i] for c in pts)) == gold.g1_affine(p)
+    assert g1_out(tuple(c[4] for c in pts)) is None   # infinity decodes
+    # malformed encodings still raise host-side
+    with pytest.raises(ValueError):
+        g1m.decompress_batch([b"\x00" * 48])
+    with pytest.raises(ValueError):
+        g1m.decompress_batch([b"\xc0" + b"\x01" + b"\x00" * 46])
+
+
 def test_in_subgroup_fast(rng):
     """GLV endomorphism membership test vs golden ground truth, including
     an on-curve point OUTSIDE the r-subgroup (h1-torsion component)."""

@@ -120,3 +120,16 @@ def test_constants_match_golden():
     assert FP.modulus == gold.P
     assert FR.modulus == gold.R
     assert FP.n_prime == 0xFFFD  # SURVEY.md 2.1
+
+
+def test_montmul_mxu_differential(rng, F):
+    """MXU-REDC montmul (field/mxu.py) bit-exact vs the VPU path,
+    incl. the all-max-limb carry stress."""
+    from tpukzg.field.mxu import montmul_mxu
+    n = 32
+    a = rand_elems(rng, F, n) + [F.modulus - 1]
+    b = rand_elems(rng, F, n) + [F.modulus - 1]
+    la, lb = F.to_mont(F.from_int(a)), F.to_mont(F.from_int(b))
+    got = np.asarray(montmul_mxu(la, lb, F))
+    want = np.asarray(F.mul(la, lb))
+    assert got.tolist() == want.tolist()

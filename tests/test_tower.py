@@ -104,3 +104,21 @@ def test_frobenius(rng, n):
 def test_conj_is_p6_frobenius(rng):
     a = rand_fp12(rng)
     assert a.conj() == a.pow(gold.P**6)
+
+
+def test_cyclotomic_sqr(rng):
+    """Granger-Scott squaring == generic squaring on norm-1 elements.
+
+    A cyclotomic element is manufactured on-device by the easy-part map
+    f -> (conj(f)/f)^(p^2+1); both squarings are exact mod-p arithmetic,
+    so the canonical outputs must be bit-identical."""
+    a = rand_fp12(rng)
+    la = fp12_in(a)
+    u = FP12.mul(FP12.conj(la), np.asarray(FP12.inv(la)))
+    c = np.asarray(FP12.mul(FP12.frobenius(u, 2), u))
+    got = fp12_out(np.asarray(FP12.cyclotomic_sqr(c)))
+    want = fp12_out(np.asarray(FP12.sqr(c)))
+    assert got == want
+    # and against the golden model
+    cg = fp12_out(c)
+    assert got == cg * cg
