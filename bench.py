@@ -44,6 +44,7 @@ os.environ.setdefault("TPUKZG_CACHE_DIR", os.path.join(REPO, ".srs_cache"))
 from tpukzg.utils import cachefix  # noqa: E402
 
 cachefix.install()
+cachefix.seed(REPO)  # committed cache entries -> fresh-clone warm start
 
 TARGET = 1e6  # verifications/sec north star (BASELINE.json:5)
 _T0 = time.time()

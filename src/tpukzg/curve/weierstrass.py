@@ -43,7 +43,9 @@ class CurveOps:
         self.add = jax.jit(self._add)
         self.double = jax.jit(self._double)
         self.neg = jax.jit(self._neg)
-        self.scalar_mul = jax.jit(self._scalar_mul)
+        self.scalar_mul = jax.jit(self._scalar_mul_windowed,
+                                  static_argnames=("w",))
+        self.scalar_mul_ladder = jax.jit(self._scalar_mul)
         self.mul_int = jax.jit(self._mul_int, static_argnames=("k",))
         self.msm_naive = jax.jit(self._msm_naive)
         self.reduce_sum = jax.jit(self._reduce_sum, static_argnames=("axis",))
@@ -144,6 +146,45 @@ class CurveOps:
             return self.select(bit == 1, added, acc)
 
         return lax.fori_loop(0, 256, body, acc0)
+
+    def _scalar_mul_windowed(self, p, k_limbs, w: int = 4):
+        """[k] P via a fixed 2^w-window ladder (SURVEY.md component 8's
+        windowed scalar mul, TPU shape).
+
+        256/w window steps of (w doublings + one branchless table select
+        + one complete add) replace the 256 x (double + add) ladder of
+        `_scalar_mul`: ~334 vs ~512 EC ops at w=4.  The 2^w-entry table
+        [0..2^w-1]P is built once with 2^w-2 adds; per-step selection is
+        a one-hot mask-sum over the table axis (no dynamic gather — every
+        lane of a batch runs identical straight-line code, and a masked
+        sum of uint16-valued limbs cannot overflow uint32)."""
+        F = self.F
+        assert 16 % w == 0, "window must divide the 16-bit limb width"
+        shifts = jnp.arange(16 // w, dtype=jnp.uint32) * w
+        d = (k_limbs[..., :, None] >> shifts) & jnp.uint32((1 << w) - 1)
+        d = d.reshape(k_limbs.shape[:-1] + (256 // w,))  # LSB-first digits
+        batch = jnp.broadcast_shapes(k_limbs.shape[:-1],
+                                     p[0].shape[: p[0].ndim - F.suffix_ndim])
+        p = tuple(jnp.broadcast_to(c, batch + c.shape[c.ndim - F.suffix_ndim:])
+                  for c in p)
+        tab = [self.inf(batch), p]
+        for _ in range(2, 1 << w):
+            tab.append(self._add(tab[-1], p))
+        table = tuple(jnp.stack([t[c] for t in tab], axis=0) for c in range(3))
+        js = jnp.arange(1 << w, dtype=jnp.uint32).reshape(
+            (1 << w,) + (1,) * (len(batch) + F.suffix_ndim))
+        nsteps = 256 // w
+
+        def body(i, acc):
+            for _ in range(w):
+                acc = self._double(acc)
+            dig = jnp.take(d, nsteps - 1 - i, axis=-1)
+            hot = js == dig[(None,) + (...,) + (None,) * F.suffix_ndim]
+            sel = tuple(jnp.sum(jnp.where(hot, c, 0), axis=0,
+                                dtype=jnp.uint32) for c in table)
+            return self._add(acc, sel)
+
+        return lax.fori_loop(0, nsteps, body, self.inf(batch))
 
     def _mul_int(self, p, k: int):
         """[k] P for a small static int k (unrolled double-and-add)."""

@@ -190,3 +190,32 @@ def install() -> None:
             setattr(_compiler, _name, _make(_orig))
     except Exception:
         pass
+
+
+def seed(repo_dir: str | None = None) -> int:
+    """Copy committed XLA-cache entries (.jax_cache_seed/, tracked in
+    git) into the working cache dir so a FRESH CLONE skips the cold
+    compiles that blew the round-1 driver budget (.jax_cache itself is
+    gitignored).  Returns the number of entries copied.  Idempotent and
+    cheap: existing files are never overwritten."""
+    import shutil
+
+    if repo_dir is None:
+        repo_dir = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
+    src = os.path.join(repo_dir, ".jax_cache_seed")
+    dst = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                         os.path.join(repo_dir, ".jax_cache"))
+    if not os.path.isdir(src) or os.path.abspath(src) == os.path.abspath(dst):
+        return 0
+    os.makedirs(dst, exist_ok=True)
+    n = 0
+    for name in os.listdir(src):
+        d = os.path.join(dst, name)
+        if not os.path.exists(d):
+            try:
+                shutil.copy2(os.path.join(src, name), d)
+                n += 1
+            except OSError:
+                pass
+    return n

@@ -6,7 +6,12 @@ Must set env BEFORE jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Opt-in escape hatch for the compiled-TPU kernel gates
+# (tests/test_pallas_tpu.py): TPUKZG_TEST_TPU=1 keeps the real backend.
+_WANT_TPU = os.environ.get("TPUKZG_TEST_TPU", "") == "1"
+
+if not _WANT_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
@@ -30,20 +35,22 @@ import jax  # noqa: E402
 from tpukzg.utils import cachefix  # noqa: E402
 
 cachefix.install()
+cachefix.seed(REPO)  # committed cache entries -> fresh-clone warm start
 
 # HARD-isolate tests from the tunneled TPU: the axon plugin's register()
 # overrides jax_platforms to "axon,cpu" (sitecustomize), so env vars are
 # not enough — drop its backend factory and re-pin the platform list.
 # A wedged/slow tunnel must never be able to hang the CPU-only suite
 # (observed 2026-08-17: axon init retries in a sleep loop for minutes).
-try:  # noqa: SIM105
-    from jax._src import xla_bridge as _xb
+if not _WANT_TPU:
+    try:  # noqa: SIM105
+        from jax._src import xla_bridge as _xb
 
-    _xb._backend_factories.pop("axon", None)
-except Exception:
-    pass
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        _xb._backend_factories.pop("axon", None)
+    except Exception:
+        pass
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
 jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -65,6 +65,19 @@ def test_g1_scalar_mul(rng):
         gold.g1_affine(gold.g1_neg(p))
 
 
+def test_g1_scalar_mul_windowed_vs_ladder(rng):
+    # the windowed ladder (SURVEY comp. 8) must agree with the plain
+    # 256-step double-and-add bit-exactly, including edge scalars
+    import jax
+    ks = [rng.randrange(gold.R) for _ in range(3)] + [0, 1, gold.R - 1]
+    kl = FR.from_int(ks)
+    pts = G1.gen((len(ks),))
+    win = jax.tree.map(np.asarray, G1.normalize(G1.scalar_mul(pts, kl)))
+    lad = jax.tree.map(np.asarray, G1.normalize(G1.scalar_mul_ladder(pts, kl)))
+    for a, b in zip(win, lad):
+        assert np.array_equal(a, b)
+
+
 def test_g1_msm_naive(rng):
     n = 5
     ks = [rng.randrange(gold.R) for _ in range(n)]

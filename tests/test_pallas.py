@@ -176,6 +176,35 @@ def test_pallas_ec_add_double(rng):
     assert (xs, ys) == gold.g1_affine(gold.g1_double(P))
 
 
+def test_bucket_seg_scan_pallas_interpret(rng):
+    """Pallas segmented EC-sum scan (pallas/bucket.py, SURVEY comp. 10)
+    vs the loop-mode lowering on random points + random sorted segment
+    ids — including bucket collisions and single-element segments."""
+    import golden.model as gold
+    from tpukzg.curve import g1 as g1m
+    from tpukzg.curve.weierstrass_lm import G1_LM
+    from tpukzg.msm.scan import seg_scan
+    from tpukzg.pallas.bucket import seg_scan_pallas
+
+    g, n = 2, 16
+    ks = [rng.randrange(1, gold.R) for _ in range(g * n)]
+    aff = [gold.g1_affine(gold.g1_mul(gold.G1_GEN, k)) for k in ks]
+    pd = g1m.points_from_ints([a[0] for a in aff], [a[1] for a in aff],
+                              [False] * (g * n))
+    pts = tuple(np.asarray(c).T.reshape(24, g, n).copy() for c in pd)
+    seg = np.sort(rng_np(rng).integers(0, 5, size=(g, n)), axis=-1)
+    seg = seg.astype(np.int32)
+    got = seg_scan_pallas(pts, seg, interpret=True)
+    ref = seg_scan(G1_LM.add, G1_LM.select, pts, seg,
+                   coord_axis=2, seg_axis=1, impl="loop")
+    for cg, cr in zip(got, ref):
+        assert np.array_equal(np.asarray(cg), np.asarray(cr))
+
+
+def rng_np(rng):
+    return np.random.default_rng(rng.randrange(1 << 31))
+
+
 def test_ntt_pallas_interpret(rng):
     """Fused-stage Pallas NTT (pallas/ntt.py) vs the XLA plan, interpret
     mode, fwd + inv roundtrip (SURVEY comp. 12)."""

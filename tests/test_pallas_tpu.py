@@ -1,0 +1,98 @@
+"""Compiled-TPU gates for the Pallas kernel suite (VERDICT r1 weak #8).
+
+The interpret-mode differential tests in test_pallas.py validate kernel
+*semantics* on CPU; these run the same kernels COMPILED through Mosaic on
+a real TPU so backend-specific breakage (layout constraints, VMEM limits,
+unsupported ops) cannot ship silently.  Skipped automatically when no TPU
+is attached (the driver's CPU suite), run manually with:
+
+    TPUKZG_TEST_TPU=1 python -m pytest tests/test_pallas_tpu.py -v
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpukzg.field.mont import FP, FR
+
+
+def _tpu_available():
+    if os.environ.get("TPUKZG_TEST_TPU", "") != "1":
+        return False  # conftest pinned the suite to CPU
+    try:
+        import jax
+        return any(d.platform != "cpu" for d in jax.devices())
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _tpu_available(),
+                                reason="no TPU attached (compiled Mosaic "
+                                       "gate; interpret tests cover CPU)")
+
+
+def test_montmul_pallas_compiled(rng):
+    from tpukzg.pallas.montmul import make_montmul_pallas
+    n = 512
+    a = np.stack([np.asarray(FP.from_int(rng.randrange(FP.modulus)))
+                  for _ in range(n)])
+    b = np.stack([np.asarray(FP.from_int(rng.randrange(FP.modulus)))
+                  for _ in range(n)])
+    f = make_montmul_pallas(FP, tile=128, interpret=False)
+    got = np.asarray(f(a, b))
+    ref = np.asarray(FP.mul(a, b))
+    assert np.array_equal(got, ref)
+
+
+def test_bucket_seg_scan_compiled(rng):
+    import golden.model as gold
+    from tpukzg.curve import g1 as g1m
+    from tpukzg.curve.weierstrass_lm import G1_LM
+    from tpukzg.msm.scan import seg_scan
+    from tpukzg.pallas.bucket import seg_scan_pallas
+
+    g, n = 2, 128
+    ks = [rng.randrange(1, gold.R) for _ in range(g * n)]
+    aff = [gold.g1_affine(gold.g1_mul(gold.G1_GEN, k)) for k in ks]
+    pd = g1m.points_from_ints([a[0] for a in aff], [a[1] for a in aff],
+                              [False] * (g * n))
+    pts = tuple(np.asarray(c).T.reshape(24, g, n).copy() for c in pd)
+    nprng = np.random.default_rng(rng.randrange(1 << 31))
+    seg = np.sort(nprng.integers(0, 9, size=(g, n)), axis=-1).astype(np.int32)
+    got = seg_scan_pallas(pts, seg, interpret=False)
+    ref = seg_scan(G1_LM.add, G1_LM.select, pts, seg,
+                   coord_axis=2, seg_axis=1, impl="loop")
+    for cg, cr in zip(got, ref):
+        assert np.array_equal(np.asarray(cg), np.asarray(cr))
+
+
+def test_ntt_pallas_compiled(rng):
+    from tpukzg.ntt.ntt import get_plan
+    from tpukzg.pallas.ntt import NttPallas
+
+    n = 256
+    plan = get_plan(n)
+    pn = NttPallas(plan, interpret=False)
+    vals = [rng.randrange(FR.modulus) for _ in range(n)]
+    a = np.asarray(FR.to_mont(FR.from_int(vals))).reshape(1, n, 16)
+    got = np.asarray(pn.ntt(a))
+    want = np.asarray(plan.ntt(a))
+    assert np.array_equal(got, want)
+    back = np.asarray(pn.intt(got))
+    assert np.array_equal(back, np.asarray(a))
+
+
+def test_mxu_montmul_compiled(rng):
+    """MXU-assisted REDC must stay bit-exact under real bf16 matmuls
+    (the f32-exactness argument of field/mxu.py), not just in CPU
+    emulation."""
+    from tpukzg.field.mxu import montmul_mxu
+    n = 256
+    a = np.stack([np.asarray(FP.from_int(rng.randrange(FP.modulus)))
+                  for _ in range(n)])
+    b = np.stack([np.asarray(FP.from_int(rng.randrange(FP.modulus)))
+                  for _ in range(n)])
+    got = np.asarray(montmul_mxu(a, b, FP))
+    ref = np.asarray(FP.mul(a, b))
+    assert np.array_equal(got, ref)
