@@ -211,10 +211,14 @@ _SQRT_BITS = None  # lazy: FP._bits((P_MOD + 1) // 4)
 _B_MONT = np.asarray(FP.to_mont(FP.from_int(4)))
 
 
-def _decompress_check(x_can, sign, inf):
+def _decompress_sqrt(x_can, sign, inf):
     """Traced body: (n, L) canonical x limbs, (n,) sign flag (y > half),
-    (n,) infinity flag -> ((X, Y, Z) Montgomery projective, ok).
-    ok = on-curve (x is a QR) AND in the r-subgroup; infinity is ok."""
+    (n,) infinity flag -> ((X, Y, Z) Montgomery projective, ok_curve).
+    ok_curve = x is a QR (point is on the curve).  The subgroup check is
+    a SEPARATE jitted program (in_subgroup_fast): the fused graph's
+    executable crashed XLA:CPU's serializer (cpu:jit__decompress_check
+    sentinel, VERDICT r2), and split programs also cache/compile
+    faster."""
     import jax.numpy as jnp
 
     xm = FP._to_mont(x_can)
@@ -230,11 +234,11 @@ def _decompress_check(x_can, sign, inf):
     X = FP.select(inf, zero, xm)
     Y = FP.select(inf, one, y)
     Z = FP.select(inf, zero, one)
-    ok = (ok_curve & _in_subgroup_check((X, Y, Z))) | inf
-    return (X, Y, Z), ok
+    return (X, Y, Z), ok_curve
 
 
 _decompress_jit = None
+_combine_ok_jit = None
 
 
 def decompress_batch(byte_list):
@@ -272,10 +276,15 @@ def decompress_batch(byte_list):
         raise ValueError("G1 x out of range")
     if _SQRT_BITS is None:
         _SQRT_BITS = FP._bits((P_MOD + 1) // 4)
+    global _combine_ok_jit
     if _decompress_jit is None:
         import jax
-        _decompress_jit = jax.jit(_decompress_check)
-    return _decompress_jit(x_l, sign, inf)
+        _decompress_jit = jax.jit(_decompress_sqrt)
+        _combine_ok_jit = jax.jit(
+            lambda oc, sub, i: (oc & sub) | i)
+    pts, ok_curve = _decompress_jit(x_l, sign, inf)
+    sub = in_subgroup_fast(pts)
+    return pts, _combine_ok_jit(ok_curve, sub, inf)
 
 
 def in_subgroup_fast(p):

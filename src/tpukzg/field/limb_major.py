@@ -113,7 +113,19 @@ class FieldLM:
         return self.add(a, a)
 
     def mul(self, a, b):
-        """Separated Montgomery product, limb-major (see field/mont.py)."""
+        """Separated Montgomery product, limb-major (see field/mont.py).
+        TPUKZG_MONTMUL=pallas routes through the VMEM kernel
+        (pallas/montmul.py montmul_lm_pallas) — the per-op dispatch for
+        XLA-level callers; the fused Pallas kernels (bucket/ntt/ec)
+        embed the same core directly."""
+        from tpukzg.utils.config import FieldImplConfig
+        if FieldImplConfig.from_env().montmul == "pallas":
+            import jax
+            if jax.default_backend() != "cpu":  # TPU-only dispatch: the
+                # interpret path traced into callers' jits explodes
+                # XLA:CPU compiles (see pallas/bucket.py)
+                from tpukzg.pallas.montmul import montmul_lm_pallas
+                return montmul_lm_pallas(a, b, self.params)
         L = self.L
         t_cols = _prod_cols_lead(a, b, L, 2 * L)
         t, _ = _carry_scan(t_cols)

@@ -47,7 +47,7 @@ def seg_scan(add_fn, select_fn, pts, seg, *, coord_axis: int, seg_axis: int,
         # VMEM-fused kernel (pallas/bucket.py): limb-major G1 coords
         # (L, g, n) only; anything else falls back to loop mode.
         if (len(pts) == 3 and pts[0].ndim == 3 and coord_axis == 2
-                and pts[0].shape[0] == 24):
+                and seg_axis == 1 and pts[0].shape[0] == 24):
             from tpukzg.pallas.bucket import seg_scan_pallas
             interpret = jax.default_backend() == "cpu"
             return seg_scan_pallas(pts, seg, interpret=interpret)
@@ -104,6 +104,16 @@ def suffix_scan(add_fn, select_fn, pts, *, coord_axis: int,
     over); scan_axis_in_batch: position of the scan axis within it.
     """
     impl = impl or ScanConfig.from_env().impl
+    if impl == "pallas":
+        # Same VMEM-fused kernel, single-segment over flipped lanes
+        # (pallas/bucket.py suffix_scan_pallas); non-G1-LM shapes fall
+        # back to loop mode like seg_scan above.
+        if (len(pts) == 3 and pts[0].ndim == 3 and coord_axis == 2
+                and scan_axis_in_batch == 1 and pts[0].shape[0] == 24):
+            from tpukzg.pallas.bucket import suffix_scan_pallas
+            interpret = jax.default_backend() == "cpu"
+            return suffix_scan_pallas(pts, interpret=interpret)
+        impl = "loop"
     rev = tuple(jnp.flip(c_, axis=coord_axis) for c_ in pts)
     if impl == "assoc":
         scanned = lax.associative_scan(add_fn, rev, axis=coord_axis)

@@ -89,10 +89,23 @@ class NttPlan:
             [pow(g, i, R_MOD) for i in range(n)])))
         self.coset_pow_inv = np.asarray(FR.to_mont(FR.from_int(
             [pow(g_inv, i, R_MOD) for i in range(n)])))
+        self._pallas = None  # lazy NttPallas (TPU dispatch, comp. 12)
         self.ntt = jax.jit(self._ntt)
         self.intt = jax.jit(self._intt)
         self.coset_ntt = jax.jit(self._coset_ntt)
         self.coset_intt = jax.jit(self._coset_intt)
+
+    def _maybe_pallas(self):
+        """Fused-stage Pallas butterfly (pallas/ntt.py) when configured
+        (default on TPU) and the size fits VMEM; None -> XLA stages."""
+        from tpukzg.utils.config import NttConfig
+        if NttConfig.from_env().impl != "pallas" or not (128 <= self.n <= 8192):
+            return None
+        if self._pallas is None:
+            from tpukzg.pallas.ntt import NttPallas
+            interpret = jax.default_backend() == "cpu"
+            self._pallas = NttPallas(self, interpret=interpret)
+        return self._pallas
 
     def _butterflies(self, a, twiddles):
         """a: (..., n, L) bit-reversed input -> natural-order output."""
@@ -109,10 +122,16 @@ class NttPlan:
         return a
 
     def _ntt(self, coeffs):
+        p = self._maybe_pallas()
+        if p is not None:
+            return p.ntt(coeffs)
         a = jnp.take(coeffs, jnp.asarray(self.brp), axis=-2)
         return self._butterflies(a, self._tw_fwd)
 
     def _intt(self, evals):
+        p = self._maybe_pallas()
+        if p is not None:
+            return p.intt(evals)
         a = jnp.take(evals, jnp.asarray(self.brp), axis=-2)
         a = self._butterflies(a, self._tw_inv)
         return FR.mul(a, jnp.asarray(self.n_inv))

@@ -134,6 +134,48 @@ def _montmul_kernel(a_ref, b_ref, mu_ref, pm_ref, out_ref, *, L):
     out_ref[:] = _montmul_lm_core(a_ref[:], b_ref[:], mu_ref[:], pm_ref[:], L)
 
 
+@functools.partial(jax.jit, static_argnames=("L", "tile", "interpret"))
+def _montmul_lm_call(a, b, mu, pm, *, L, tile, interpret):
+    """a, b (L, M) u32 with M % tile == 0 -> (L, M)."""
+    M = a.shape[1]
+    kernel = functools.partial(_montmul_kernel, L=L)
+    spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel, grid=(M // tile,),
+        in_specs=[spec, spec, cspec, cspec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((L, M), jnp.uint32),
+        interpret=interpret,
+    )(a, b, mu, pm)
+
+
+def montmul_lm_pallas(a, b, params: FieldParams, tile: int = 2048,
+                      interpret: bool = False):
+    """Limb-major Montgomery product through the Pallas kernel with NO
+    layout change: a, b (L, *batch) u32 -> (L, *batch).  Batch dims are
+    flattened onto the lane axis and padded to the tile width (garbage
+    pad lanes compute garbage and are sliced away).  This is the
+    production dispatch target of FieldLM.mul (TPUKZG_MONTMUL=pallas,
+    SURVEY comp. 4 / VERDICT r2 next-round #4)."""
+    L = params.L
+    batch = a.shape[1:]
+    M = 1
+    for d in batch:
+        M *= int(d)
+    a2 = a.reshape(L, M)
+    b2 = jnp.broadcast_to(b, a.shape).reshape(L, M)
+    Mp = -(-M // 128) * 128
+    t = min(tile, Mp)
+    Mp = -(-Mp // t) * t
+    if Mp != M:
+        a2 = jnp.pad(a2, ((0, 0), (0, Mp - M)))
+        b2 = jnp.pad(b2, ((0, 0), (0, Mp - M)))
+    mu = jnp.asarray(np.asarray(params.mu_limbs, np.uint32)[:, None])
+    pm = jnp.asarray(np.asarray(params.mod_limbs, np.uint32)[:, None])
+    out = _montmul_lm_call(a2, b2, mu, pm, L=L, tile=t, interpret=interpret)
+    return out[:, :M].reshape((L,) + batch)
+
+
 def make_montmul_pallas(params: FieldParams, tile: int = 512,
                         interpret: bool = False):
     """Returns f(a, b) on the PUBLIC (N, L) layout, computing through the

@@ -6,11 +6,24 @@ stage dispatches whose (n, 16) intermediates round-trip HBM.  Here ALL
 stages run on one VMEM-resident limb-major tile: HBM traffic drops from
 log2(n) passes to one read + one write per blob.
 
-Layout: (L=16, n) u32 — the polynomial axis on lanes, limbs on
-sublanes.  Twiddles are pre-tiled per stage to (log_n, L, n/2) so every
-stage is one montmul + add/sub over dense n/2-wide lanes with NO gathers:
-the pair structure is pure static reshapes.  Field core shared with
-pallas/montmul.py (carry bounds proven there).
+TPU-lowering design (round-3 rewrite — the first version used a
+rank-changing (L, blocks, 2, half) reshape Mosaic cannot lower,
+VERDICT r2 missing #2).  Stage s pairs lanes (i, i + 2^s); instead of
+reshaping, the pairing is expressed with STATIC lane shifts and a
+parity mask:
+
+    u lanes: bit s of the lane index is 0;  v lanes: bit s is 1
+    wx       = montmul(X, tw_s)        # w*v at v lanes (u lanes unused)
+    a        = X + shift_left(wx, h)   # u + w*v, valid at u lanes
+    b        = shift_right(X, h) - wx  # u - w*v, valid at v lanes
+    X        = where(bit_s(lane) == 0, a, b)
+
+The twiddle table is pre-tiled PER LANE: tw[s][i] = w_s^(i mod 2^s), so
+the stage montmul runs dense full-width lanes with no gathers.  The
+montmul-by-twiddle runs on all n lanes (2x the minimal multiply work)
+— a lane-compaction would need a gather, and the stage stays VPU-bound
+either way.  Outputs are bit-exact vs the XLA plan: identical modular
+ops on identical values, only the dead u-lane products differ.
 
 The public wrapper keeps the library's (..., n, L) layout and performs
 the bit-reversal permutation outside the kernel (one XLA gather).
@@ -23,6 +36,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -31,18 +45,30 @@ from tpukzg.pallas.montmul import _montmul_lm_core
 from tpukzg.pallas.ec import add_mod, sub_mod
 
 
-def _tiled_twiddles(plan, inverse: bool) -> np.ndarray:
-    """(log_n, L, n/2) stage-s twiddle tiled over blocks; pairs are
-    flattened (block, j) with u = a[blk*2h + j], v = a[blk*2h + h + j]."""
+def _lane_twiddles(plan, inverse: bool) -> np.ndarray:
+    """(log_n, L, n) per-lane twiddles: tw[s, :, i] = w_s^(i mod 2^s),
+    replicated at BOTH the u and v lane of every stage-s pair."""
     n, log_n, L = plan.n, plan.log_n, 16
     tabs = plan._tw_inv if inverse else plan._tw_fwd
-    out = np.zeros((log_n, L, n // 2), np.uint32)
+    out = np.zeros((log_n, L, n), np.uint32)
     for s in range(log_n):
         half = 1 << s
-        blocks = n // (2 * half)
         tw = np.asarray(tabs[s]).reshape(half, L)      # (half, L)
-        out[s] = np.tile(tw.T, (1, blocks))            # (L, half*blocks)
+        block = np.concatenate([tw, tw], axis=0)       # (2*half, L)
+        out[s] = np.tile(block.T, (1, n // (2 * half)))  # (L, n)
     return out
+
+
+def _shl_lanes(x, d):
+    """x[..., i + d] along the last axis, zero-filled (static d)."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, d)]
+    return jnp.pad(x, pad)[..., d:]
+
+
+def _shr_lanes(x, d):
+    """x[..., i - d] along the last axis, zero-filled (static d)."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
+    return jnp.pad(x, pad)[..., : x.shape[-1]]
 
 
 def _ntt_kernel(x_ref, tw_ref, scale_ref, mu_ref, pm_ref, out_ref,
@@ -50,43 +76,39 @@ def _ntt_kernel(x_ref, tw_ref, scale_ref, mu_ref, pm_ref, out_ref,
     X = x_ref[0]                                       # (L, n)
     mu = mu_ref[:]
     pm = pm_ref[:]
+    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def mul(a, b):
         return _montmul_lm_core(a, b, mu, pm, L)
 
     for s in range(log_n):
-        half = 1 << s
-        blocks = n // (2 * half)
-        x = X.reshape(L, blocks, 2, half)
-        u = x[:, :, 0, :].reshape(L, n // 2)
-        v = x[:, :, 1, :].reshape(L, n // 2)
-        wv = mul(v, tw_ref[s])
-        a = add_mod(u, wv, pm)
-        b = sub_mod(u, wv, pm)
-        X = jnp.stack([a.reshape(L, blocks, half),
-                       b.reshape(L, blocks, half)], axis=2).reshape(L, n)
+        h = 1 << s
+        wx = mul(X, tw_ref[s])                         # w*x, all lanes
+        a = add_mod(X, _shl_lanes(wx, h), pm)          # u + w*v @ u lanes
+        b = sub_mod(_shr_lanes(X, h), wx, pm)          # u - w*v @ v lanes
+        is_u = (lane & h) == 0
+        X = jnp.where(is_u, a, b)
     if apply_scale:
         X = mul(X, jnp.broadcast_to(scale_ref[:], (L, n)))
     out_ref[0] = X
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("log_n", "apply_scale", "interpret"))
-def _ntt_call(x_lm, tw, scale, mu, pm, *, log_n, apply_scale, interpret):
+def _ntt_call_impl(x_lm, tw, scale, mu, pm, *, log_n, apply_scale,
+                   interpret):
     k, L, n = x_lm.shape
     kernel = functools.partial(_ntt_kernel, L=L, n=n, log_n=log_n,
                                apply_scale=apply_scale)
+    const_spec = pl.BlockSpec((L, 1), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(k,),
         in_specs=[
             pl.BlockSpec((1, L, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((log_n, L, n // 2), lambda i: (0, 0, 0),
+            pl.BlockSpec((log_n, L, n), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            const_spec, const_spec, const_spec,
         ],
         out_specs=pl.BlockSpec((1, L, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -95,14 +117,23 @@ def _ntt_call(x_lm, tw, scale, mu, pm, *, log_n, apply_scale, interpret):
     )(x_lm, tw, scale, mu, pm)
 
 
+_ntt_call = jax.jit(_ntt_call_impl,
+                    static_argnames=("log_n", "apply_scale", "interpret"))
+
+
 class NttPallas:
-    """Pallas twin of NttPlan._ntt/_intt: (..., n, 16) Montgomery in/out."""
+    """Pallas twin of NttPlan._ntt/_intt: (..., n, 16) Montgomery in/out.
+
+    Bit-exact vs the XLA plan (tests/test_pallas.py, test_pallas_tpu.py).
+    Requires n >= 128 lanes and n a power of two; the four-step
+    distributed NTT (dist/ntt.py) keeps local sizes in this range.
+    """
 
     def __init__(self, plan, interpret: bool = False):
         self.plan = plan
         self.interpret = interpret
-        self._tw_f = jnp.asarray(_tiled_twiddles(plan, inverse=False))
-        self._tw_i = jnp.asarray(_tiled_twiddles(plan, inverse=True))
+        self._tw_f = jnp.asarray(_lane_twiddles(plan, inverse=False))
+        self._tw_i = jnp.asarray(_lane_twiddles(plan, inverse=True))
         self._scale = jnp.asarray(np.asarray(plan.n_inv)[:, None])
         self._mu = jnp.asarray(np.asarray(FR.mu_limbs, np.uint32)[:, None])
         self._pm = jnp.asarray(np.asarray(FR.mod_limbs, np.uint32)[:, None])
@@ -113,9 +144,14 @@ class NttPallas:
         batch = a.shape[:-2]
         a = jnp.take(a, jnp.asarray(plan.brp), axis=-2)
         x_lm = jnp.moveaxis(a.reshape((-1, n, L)), -1, -2)  # (k, L, n)
-        out = _ntt_call(x_lm, tw, self._scale, self._mu, self._pm,
-                        log_n=plan.log_n, apply_scale=apply_scale,
-                        interpret=self.interpret)
+        # interpret mode runs UNJITTED: tracing the Pallas interpreter
+        # into an XLA:CPU graph unrolls the grid into one giant LLVM
+        # function (see pallas/bucket.py) — eager per-op evaluation is
+        # slow but bounded, and it is a test-only path
+        call = _ntt_call_impl if self.interpret else _ntt_call
+        out = call(x_lm, tw, self._scale, self._mu, self._pm,
+                   log_n=plan.log_n, apply_scale=apply_scale,
+                   interpret=self.interpret)
         return jnp.moveaxis(out, -2, -1).reshape(batch + (n, L))
 
     def ntt(self, coeffs):

@@ -192,14 +192,44 @@ def install() -> None:
         pass
 
 
+def _host_cpu_flags() -> set[str]:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                if ln.startswith("flags"):
+                    return set(ln.split(":", 1)[1].split())
+    except OSError:
+        pass
+    return set()
+
+
 def seed(repo_dir: str | None = None) -> int:
     """Copy committed XLA-cache entries (.jax_cache_seed/, tracked in
     git) into the working cache dir so a FRESH CLONE skips the cold
     compiles that blew the round-1 driver budget (.jax_cache itself is
     gitignored).  Returns the number of entries copied.  Idempotent and
-    cheap: existing files are never overwritten."""
+    cheap: existing files are never overwritten.
+
+    Safety gating (round-3, ADVICE r2): entries are only trusted when
+    the committed MANIFEST.json validates against this host —
+
+    * no manifest, or a jaxlib version mismatch -> copy NOTHING (the
+      cache key embeds the version, so stale entries are dead weight;
+      unmanifested blobs are unreviewable native code).
+    * CPU-backend entries additionally require the compile host's CPU
+      feature set (recorded at seed-build time) to be a SUBSET of this
+      host's /proc/cpuinfo flags: XLA:CPU AOT executables built with
+      e.g. AMX/AVX-512 SIGILL on a leaner host (MULTICHIP_r02 warning
+      wall).  TPU-backend entries run on the chip, not the host CPU,
+      and are gated on the jaxlib match only.
+
+    TPUKZG_SEED_CACHE=0 disables seeding entirely.
+    """
+    import json
     import shutil
 
+    if os.environ.get("TPUKZG_SEED_CACHE", "1") == "0":
+        return 0
     if repo_dir is None:
         repo_dir = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))))
@@ -208,9 +238,24 @@ def seed(repo_dir: str | None = None) -> int:
                          os.path.join(repo_dir, ".jax_cache"))
     if not os.path.isdir(src) or os.path.abspath(src) == os.path.abspath(dst):
         return 0
+    try:
+        with open(os.path.join(src, "MANIFEST.json")) as f:
+            manifest = json.load(f)
+    except (OSError, ValueError):
+        return 0  # unmanifested seed: do not trust it
+    try:
+        import jaxlib.version
+        if manifest.get("jaxlib") != jaxlib.version.__version__:
+            return 0
+    except Exception:
+        return 0
+    cpu_ok = set(manifest.get("cpu_features", [])) <= _host_cpu_flags()
+    entries = manifest.get("entries", {})
     os.makedirs(dst, exist_ok=True)
     n = 0
-    for name in os.listdir(src):
+    for name, backend in entries.items():
+        if backend == "cpu" and not cpu_ok:
+            continue
         d = os.path.join(dst, name)
         if not os.path.exists(d):
             try:

@@ -17,6 +17,20 @@ def _env(name: str, default, cast=int):
     return default if v is None else cast(v)
 
 
+def _on_tpu() -> bool:
+    """True iff jax is already up on a non-CPU backend.  Never trigger
+    backend INIT from config: a wedged TPU tunnel must not be able to
+    hang a config read (tests pin CPU before ever getting here)."""
+    try:
+        from jax._src import xla_bridge as xb
+        if not xb._backends:      # backend not initialized yet
+            return False          # -> loop; TPU callers init jax first
+        import jax
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 @dataclass(frozen=True)
 class FieldConfig:
     """Limb layout of the Montgomery engine (SURVEY.md component 1-3)."""
@@ -49,24 +63,57 @@ class ScanConfig:
                  combiner ~2*log2(n) times in the graph.
     ``pallas`` — VMEM-fused Hillis-Steele kernel (pallas/bucket.py) for
                  limb-major G1; other shapes fall back to ``loop``.
+
+    Default: ``pallas`` on TPU (the production bucket path, VERDICT r2
+    next-round #2), ``loop`` elsewhere (the kernel itself then runs the
+    interpreter, so loop's compiled XLA is faster on CPU).
     """
     impl: str = "loop"
 
     @classmethod
     def from_env(cls):
-        v = os.environ.get("TPUKZG_SCAN_IMPL", "loop")
+        v = os.environ.get("TPUKZG_SCAN_IMPL")
+        if v is None:
+            v = "pallas" if _on_tpu() else "loop"
         assert v in ("loop", "assoc", "pallas"), v
         return cls(impl=v)
 
 
 @dataclass(frozen=True)
-class NttConfig:
-    """NTT shape knobs (SURVEY.md components 11, 24)."""
-    four_step_rows: int | None = None  # n1 of the (n1, n2) split; None -> sqrt
+class FieldImplConfig:
+    """Montgomery-mul lowering for XLA-level limb-major callers
+    (field/limb_major.py FieldLM.mul; SURVEY comp. 4).
+
+    ``xla``    — lax.scan-carry product (compile-lean, the default)
+    ``pallas`` — VMEM kernel per mul (pallas/montmul.py); measured via
+                 bench/run.py --kernels montmul before flipping defaults
+    """
+    montmul: str = "xla"
 
     @classmethod
     def from_env(cls):
-        return cls(four_step_rows=_env("NTT_ROWS", None))
+        v = os.environ.get("TPUKZG_MONTMUL", "xla")
+        assert v in ("xla", "pallas"), v
+        return cls(montmul=v)
+
+
+@dataclass(frozen=True)
+class NttConfig:
+    """NTT shape knobs (SURVEY.md components 11, 24).
+
+    impl: butterfly lowering — ``pallas`` (fused VMEM kernel,
+    pallas/ntt.py; default on TPU for 128 <= n <= 8192) or ``xla``
+    (per-stage dispatches; default elsewhere)."""
+    four_step_rows: int | None = None  # n1 of the (n1, n2) split; None -> sqrt
+    impl: str = "xla"
+
+    @classmethod
+    def from_env(cls):
+        v = os.environ.get("TPUKZG_NTT_IMPL")
+        if v is None:
+            v = "pallas" if _on_tpu() else "xla"
+        assert v in ("xla", "pallas"), v
+        return cls(four_step_rows=_env("NTT_ROWS", None), impl=v)
 
 
 @dataclass(frozen=True)

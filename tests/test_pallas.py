@@ -199,10 +199,49 @@ def test_bucket_seg_scan_pallas_interpret(rng):
                    coord_axis=2, seg_axis=1, impl="loop")
     for cg, cr in zip(got, ref):
         assert np.array_equal(np.asarray(cg), np.asarray(cr))
+    # NOTE: the true Pallas-interpreter path (force_kernel=True) is NOT
+    # exercised here — XLA:CPU compiles the whole emulated kernel as one
+    # giant LLVM function (19 GB RSS observed); kernel glue (BlockSpecs,
+    # scratch, grid carry) is validated COMPILED by test_pallas_tpu.py.
 
 
 def rng_np(rng):
     return np.random.default_rng(rng.randrange(1 << 31))
+
+
+def test_bucket_seg_scan_pallas_tiled_interpret(rng):
+    """Lane-TILED path (T > 1, cross-tile carry) of the Pallas scan.
+    Association order differs from loop mode when a segment crosses a
+    tile boundary, so results are compared as GROUP ELEMENTS (projective
+    eq), not raw coordinates — the MSM consumes points, not coords."""
+    import golden.model as gold
+    from tpukzg.curve import g1 as g1m
+    from tpukzg.curve.weierstrass_lm import G1_LM
+    from tpukzg.msm.scan import seg_scan, suffix_scan
+    from tpukzg.pallas.bucket import seg_scan_pallas, suffix_scan_pallas
+
+    base = 6
+    ks = [rng.randrange(1, gold.R) for _ in range(base)]
+    aff = [gold.g1_affine(gold.g1_mul(gold.G1_GEN, k)) for k in ks]
+    pd = g1m.points_from_ints([a[0] for a in aff], [a[1] for a in aff],
+                              [False] * base)
+    base_pts = np.stack([np.asarray(c) for c in pd])        # (3, base, 24)
+    g, n = 2, 320   # tile=128 -> T=3 with a ragged final tile's padding
+    nprng = rng_np(rng)
+    idx = nprng.integers(0, base, size=(g * n,))
+    pts = tuple(base_pts[i][idx].T.reshape(24, g, n).copy() for i in range(3))
+    seg = np.sort(nprng.integers(0, 5, size=(g, n)), axis=-1).astype(np.int32)
+
+    got = seg_scan_pallas(pts, seg, interpret=True, tile=128)
+    ref = seg_scan(G1_LM.add, G1_LM.select, pts, seg,
+                   coord_axis=2, seg_axis=1, impl="loop")
+    assert bool(np.asarray(G1_LM.eq(got, ref)).all())
+
+    gs = suffix_scan_pallas(pts, interpret=True, tile=128)
+    rs = suffix_scan(G1_LM.add, G1_LM.select, pts, coord_axis=2,
+                     batch_shape=pts[0].shape[1:3], scan_axis_in_batch=1,
+                     impl="loop")
+    assert bool(np.asarray(G1_LM.eq(gs, rs)).all())
 
 
 def test_ntt_pallas_interpret(rng):

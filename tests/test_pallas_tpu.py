@@ -45,26 +45,50 @@ def test_montmul_pallas_compiled(rng):
     assert np.array_equal(got, ref)
 
 
-def test_bucket_seg_scan_compiled(rng):
+def _g1_lm_case(rng, g, n, n_base=8, n_seg=9):
     import golden.model as gold
     from tpukzg.curve import g1 as g1m
+
+    ks = [rng.randrange(1, gold.R) for _ in range(n_base)]
+    aff = [gold.g1_affine(gold.g1_mul(gold.G1_GEN, k)) for k in ks]
+    pd = g1m.points_from_ints([a[0] for a in aff], [a[1] for a in aff],
+                              [False] * n_base)
+    base = np.stack([np.asarray(c) for c in pd])
+    nprng = np.random.default_rng(rng.randrange(1 << 31))
+    idx = nprng.integers(0, n_base, size=(g * n,))
+    pts = tuple(base[i][idx].T.reshape(24, g, n).copy() for i in range(3))
+    seg = np.sort(nprng.integers(0, n_seg, size=(g, n)),
+                  axis=-1).astype(np.int32)
+    return pts, seg
+
+
+def test_bucket_seg_scan_compiled(rng):
+    """Single-tile (T=1) path: bit-exact vs loop mode (same association
+    order)."""
     from tpukzg.curve.weierstrass_lm import G1_LM
     from tpukzg.msm.scan import seg_scan
     from tpukzg.pallas.bucket import seg_scan_pallas
 
-    g, n = 2, 128
-    ks = [rng.randrange(1, gold.R) for _ in range(g * n)]
-    aff = [gold.g1_affine(gold.g1_mul(gold.G1_GEN, k)) for k in ks]
-    pd = g1m.points_from_ints([a[0] for a in aff], [a[1] for a in aff],
-                              [False] * (g * n))
-    pts = tuple(np.asarray(c).T.reshape(24, g, n).copy() for c in pd)
-    nprng = np.random.default_rng(rng.randrange(1 << 31))
-    seg = np.sort(nprng.integers(0, 9, size=(g, n)), axis=-1).astype(np.int32)
+    pts, seg = _g1_lm_case(rng, g=2, n=128)
     got = seg_scan_pallas(pts, seg, interpret=False)
     ref = seg_scan(G1_LM.add, G1_LM.select, pts, seg,
                    coord_axis=2, seg_axis=1, impl="loop")
     for cg, cr in zip(got, ref):
         assert np.array_equal(np.asarray(cg), np.asarray(cr))
+
+
+def test_bucket_seg_scan_tiled_compiled(rng):
+    """Lane-tiled (T>1, cross-tile carry) path compiled through Mosaic;
+    association order differs so compare as group elements."""
+    from tpukzg.curve.weierstrass_lm import G1_LM
+    from tpukzg.msm.scan import seg_scan
+    from tpukzg.pallas.bucket import seg_scan_pallas
+
+    pts, seg = _g1_lm_case(rng, g=1, n=256, n_seg=4)
+    got = seg_scan_pallas(pts, seg, interpret=False, tile=128)
+    ref = seg_scan(G1_LM.add, G1_LM.select, pts, seg,
+                   coord_axis=2, seg_axis=1, impl="loop")
+    assert bool(np.asarray(G1_LM.eq(got, ref)).all())
 
 
 def test_ntt_pallas_compiled(rng):
