@@ -37,6 +37,13 @@ for p in (REPO, os.path.join(REPO, "src")):
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
 os.environ.setdefault("TPUKZG_CACHE_DIR", os.path.join(REPO, ".srs_cache"))
+# Measured-default carry lowering (bench/results.jsonl, 2026-08-20, real
+# v5e, k=256/n=4096): Fp Kogge-Stone cuts the latency-bound phases
+# (vb_pair 0.793s -> 0.137s, decompress 0.078s -> 0.054s) while Fr KS
+# REGRESSES the wide barycentric path 3x (stage_eval 1.18s -> 3.76s), so
+# Fr stays on lax.scan sweeps.  setdefault: env overrides win.
+os.environ.setdefault("TPUKZG_CARRY_FP", "ks")
+os.environ.setdefault("TPUKZG_CARRY_FR", "scan")
 
 # Big-stack thread for XLA compile + executable (de)serialization: both
 # overflow the default 8 MB stack on this library's large modules
@@ -177,7 +184,21 @@ def main():
     cs = [base_cs[i % distinct] for i in range(k)]
     pfs = [base_pfs[i % distinct] for i in range(k)]
 
-    # --- warmup (compiles the verify pipeline) ---
+    # --- micro-warmup: k=8 first (VERDICT r3 next-round #8) ---
+    # Compiles shape-specialized k=8 programs in seconds and, crucially,
+    # gives the SIGTERM handler a nonzero verifications/s lower bound
+    # BEFORE the expensive k=256 warmup compiles start — a driver
+    # timeout at any point after this still yields parsed != null.
+    _state["phase"] = "micro-warmup"
+    km = min(8, k)
+    t0 = time.time()
+    ok = tpukzg.verify_blob_kzg_proof_batch(blobs[:km], cs[:km], pfs[:km], ts)
+    assert ok, "micro batch verification must pass on valid proofs"
+    micro = time.time() - t0
+    _state["best"], _state["k"] = micro, km     # pessimistic lower bound
+    log(f"micro-warmup (k={km}) in {micro:.1f}s")
+
+    # --- warmup (compiles the full-k verify pipeline) ---
     _state["phase"] = "warmup-verify"
     t0 = time.time()
     ok = tpukzg.verify_blob_kzg_proof_batch(blobs, cs, pfs, ts)
@@ -185,20 +206,35 @@ def main():
     warm = time.time() - t0
     log(f"warmup verify in {warm:.1f}s")
     # even the warmup run is a legal (pessimistic) measurement
-    _state["best"] = warm
+    _state["best"], _state["k"] = warm, k
 
-    # --- timed reps; emit after the first so a timeout still reports ---
+    # --- timed reps: software-pipelined steady state ---
+    # verify_blob_kzg_proof_batch_async dispatches rep i+1's upload-bound
+    # front half before blocking on rep i (kzg/blob.py) — sustained
+    # serving throughput, the metric BASELINE.json:2 names.  Per-rep
+    # blocking times are logged too for comparison.
     times = []
+    done_reps = 0
+    t_pipe0 = time.time()
+    resolvers = [tpukzg.verify_blob_kzg_proof_batch_async(blobs, cs, pfs, ts)]
     for i in range(reps):
         _state["phase"] = f"rep-{i}"
         t0 = time.time()
-        ok = tpukzg.verify_blob_kzg_proof_batch(blobs, cs, pfs, ts)
+        if i + 1 < reps:
+            resolvers.append(
+                tpukzg.verify_blob_kzg_proof_batch_async(blobs, cs, pfs, ts))
+        ok = resolvers[i]()
         times.append(time.time() - t0)
         assert ok
-        _state["best"] = min(times)
-        log(f"rep {i}: {times[-1]:.3f}s")
+        done_reps = i + 1
+        # honest sustained rate: total wall INCLUDING every dispatch,
+        # divided by completed reps (no pipeline edge discount)
+        _state["best"] = (time.time() - t_pipe0) / done_reps
+        log(f"rep {i}: block {times[-1]:.3f}s, "
+            f"sustained {_state['best']:.3f}s/rep")
         if time.time() - _T0 > budget and i + 1 < reps:
             log("budget reached; stopping reps early")
+            resolvers[i + 1]()   # drain the in-flight dispatch
             break
 
     # soundness sanity: one tampered proof must fail the whole batch
@@ -212,9 +248,9 @@ def main():
             "tampered proof must fail"
         log("tamper check ok")
 
-    best = min(times) if times else warm
+    best = _state["best"] if times else warm
     vps = k / best
-    log(f"times={['%.3f' % t for t in times]} best={best:.3f}s "
+    log(f"block_times={['%.3f' % t for t in times]} sustained={best:.3f}s "
         f"=> {vps:.1f} verifications/s")
     emit(vps)
 

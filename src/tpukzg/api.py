@@ -89,6 +89,15 @@ def verify_blob_kzg_proof_batch(blobs, commitment_bytes_list,
         blobs, commitment_bytes_list, proof_bytes_list)
 
 
+def verify_blob_kzg_proof_batch_async(blobs, commitment_bytes_list,
+                                      proof_bytes_list, ts: TrustedSetup):
+    """Dispatch the upload-bound front half now; returns resolve()->bool.
+    Lets a serving loop overlap batch i+1's blob upload with batch i's
+    device compute (TPU-native extension; see BlobKzg docstring)."""
+    return ts.blob.verify_blob_kzg_proof_batch_async(
+        blobs, commitment_bytes_list, proof_bytes_list)
+
+
 def verify_blob_kzg_proof_batch_chunked(blobs, commitment_bytes_list,
                                         proof_bytes_list, ts: TrustedSetup,
                                         chunk: int = 64,

@@ -126,13 +126,12 @@ def install() -> None:
             try:
                 pid = os.fork()
             except OSError:
-                pid = None  # no fork (unlikely): fall back to in-process
-            if pid is None:
-                _mark(key)
-                out = _run_on_big_stack(_orig_put, cache_key, module_name,
-                                        executable, backend, *a, **k)
-                _unmark(key)
-                return out
+                # fork failed (ENOMEM on a small-RAM host mid-compile is
+                # the observed cause).  NEVER serialize in-process: the
+                # segfault then kills the whole pytest/bench run (parent
+                # died rc=139, 2026-08-20).  The cache entry is an
+                # optimization — skip it and retry on a later call.
+                return None
             if pid == 0:
                 # child: write the cache entry, exit hard (no atexit /
                 # buffered-IO replay of the parent's state)

@@ -19,10 +19,26 @@ def _env(name: str, default, cast=int):
 
 @dataclass(frozen=True)
 class FieldConfig:
-    """Limb layout of the Montgomery engine (SURVEY.md component 1-3)."""
+    """Limb layout + carry lowering of the Montgomery engine (SURVEY.md
+    components 1-3).  carry_*: "scan" (one lax.scan HLO per sweep —
+    compile-lean, 2L sequential steps; right for wide compute-bound
+    tensors and CPU compiles) or "ks" (Kogge-Stone prefix — ~log2(2L)
+    rounds, for the latency-bound pairing/decompress chains).  Read at
+    FieldParams construction, i.e. set the env BEFORE importing tpukzg."""
     limb_bits: int = 16
     fp_limbs: int = 24
     fr_limbs: int = 16
+    carry_fp: str = "scan"
+    carry_fr: str = "scan"
+    carry_lm: str = "scan"   # limb-major engine (field/limb_major.py)
+
+    @classmethod
+    def from_env(cls):
+        fp = os.environ.get("TPUKZG_CARRY_FP", "scan")
+        fr = os.environ.get("TPUKZG_CARRY_FR", "scan")
+        lm = os.environ.get("TPUKZG_CARRY_LM", "scan")
+        assert all(v in ("scan", "ks") for v in (fp, fr, lm)), (fp, fr, lm)
+        return cls(carry_fp=fp, carry_fr=fr, carry_lm=lm)
 
 
 @dataclass(frozen=True)

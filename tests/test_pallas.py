@@ -245,8 +245,10 @@ def test_bucket_seg_scan_pallas_tiled_interpret(rng):
 
 
 def test_ntt_pallas_interpret(rng):
-    """Fused-stage Pallas NTT (pallas/ntt.py) vs the XLA plan, interpret
-    mode, fwd + inv roundtrip (SURVEY comp. 12)."""
+    """Fused-stage Pallas NTT (pallas/ntt.py) vs the XLA plan: the
+    jitted pure twin at n=16 fwd+inv, and the TRUE Pallas interpreter
+    (kernel machinery) at a minimal n=8 fwd shape vs the twin — the
+    bucket.py equivalence-pinning pattern (SURVEY comp. 12)."""
     from tpukzg.ntt.ntt import get_plan
     from tpukzg.pallas.ntt import NttPallas
 
@@ -261,3 +263,21 @@ def test_ntt_pallas_interpret(rng):
     back = np.asarray(pn.intt(got))
     assert np.array_equal(back, np.asarray(plan.intt(want)))
     assert np.array_equal(back, np.asarray(a))
+
+
+@pytest.mark.slow
+def test_ntt_pallas_true_interpreter(rng):
+    """Kernel-MACHINERY equivalence via the eager Pallas interpreter at a
+    minimal shape (~90s on a 1-core host, hence `slow`; the compiled TPU
+    gate test_pallas_tpu.py::test_ntt_pallas_compiled covers the same
+    kernel on hardware)."""
+    from tpukzg.ntt.ntt import get_plan
+    from tpukzg.pallas.ntt import NttPallas
+
+    n = 8
+    plan = get_plan(n)
+    vals = [rng.randrange(FR.modulus) for _ in range(n)]
+    a = np.asarray(FR.to_mont(FR.from_int(vals))).reshape(1, n, 16)
+    pk = NttPallas(plan, interpret=True, force_kernel=True)
+    pt = NttPallas(plan, interpret=True)
+    assert np.array_equal(np.asarray(pk.ntt(a)), np.asarray(pt.ntt(a)))
