@@ -121,18 +121,16 @@ def main():
                     for b in blobs])
     if bk._stage_eval is None:
         bk._stage_eval = bk._build_stage_eval()
-    y_dev, _okr = bk._stage_eval(raw, np.asarray(FR.to_mont(z_can)))
+    z_mont_np = np.asarray(FR.to_mont(z_can))
+    y_dev, _okr = bk._stage_eval(raw, z_mont_np)
     y_can = np.asarray(y_dev)
     from tpukzg.kzg.blob import fr_ints_from_limbs
     ys = fr_ints_from_limbs(y_can)
     _, rho_powers = transcript.compute_r_powers(cs, zs, ys, pfs, n)
     rho_can = np.asarray(FR.from_int(rho_powers)).reshape(k, 16)
 
-    if bk._stage is None:
-        bk._stage = bk._build_stage()
-    raw_dev = jax.device_put(raw)
-    z_mont_dev = jax.device_put(np.asarray(FR.to_mont(z_can)))
-    evals_mont = bk._stage(raw_dev)[0]
+    z_mont_dev = jax.device_put(z_mont_np)
+    evals_mont = bk._stage(raw)[0]
     from tpukzg.poly.poly import barycentric_eval
     eval_jit = jax.jit(lambda e, z: barycentric_eval(kzg.plan, e, z))
 
@@ -145,11 +143,10 @@ def main():
 
     phases = {
         "decompress": lambda: g1m.decompress_batch(list(cs) + list(pfs))[0],
-        "stage_eval": lambda: bk._stage_eval(
-            raw, np.asarray(FR.to_mont(z_can))),
-        "stage_upload": lambda: jax.device_put(raw),
-        "stage_body": lambda: bk._stage(raw_dev),
+        "stage_eval": lambda: bk._stage_eval(raw, z_mont_np),
+        "stage_body": lambda: bk._stage(raw),
         "eval_only": lambda: eval_jit(evals_mont, z_mont_dev),
+        "front_half": lambda: bk._stage_eval(raw, z_mont_np)[0],
         "msm_grp_k": lambda: kzg.pip._jit(pi_pts, scal_g1, c=c_win),
         "msm_grp_2k1": lambda: kzg.pip._jit(pts_g2, scal_g2, c=c_win),
         "vb_msm": lambda: kzg._vb_msm(c_pts, z_can, y_can, pi_pts, rho_can),
@@ -163,6 +160,9 @@ def main():
         "host_stack": lambda: np.stack(
             [np.frombuffer(b, dtype=np.uint8).reshape(n, 32) for b in blobs]),
         "e2e": lambda: tpukzg.verify_blob_kzg_proof_batch(blobs, cs, pfs, ts),
+        "pipelined3": lambda: [
+            r() for r in [tpukzg.verify_blob_kzg_proof_batch_async(
+                blobs, cs, pfs, ts) for _ in range(3)]],
     }
 
     meta = {"device": str(jax.devices()[0]), "ts": time.time(), "k": k, "n": n}

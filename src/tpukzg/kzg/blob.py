@@ -72,47 +72,59 @@ class BlobKzg:
         self._brp = kzg.plan.brp  # bit-reversal permutation indices
         self._stage = None        # lazily-built jitted device stager
         self._stage_eval = None   # fused stager + barycentric eval
+        self._verdict_jit = None  # 3-way AND on device (one D2H sync)
 
     # -- helpers --
+    #
+    # Staging ships the blob BYTES (k, n, 32) u8 — the minimum possible
+    # payload — via an async device_put.  A 2026-08-20 bisection
+    # (bench/results.jsonl xfer/phase rows) first blamed layouts, but
+    # the decisive experiment (cached input 0.068s, fresh-preblocked
+    # 0.070s, device_put alone 0.02s..2.0s across runs) showed the
+    # tunnel's throughput itself varies ~100x over time; the programs
+    # are layout-stable.  Upload cost is weather — the pipelined API
+    # overlaps it with the previous batch's device compute.
 
     def _stage_body(self, bytes_u8):
         """(k, n, 32) u8 big-endian blob bytes ->
         ((k, n, 16) Montgomery natural-order evals, all-in-range flag).
-        Raw bytes upload (half the traffic of u32 limbs) + all limb
-        work on device — the tunnel made host staging ~10% of batch
-        verify wall time.  Traced inside a caller's jit."""
+        The x < r check is an unrolled MSB-first fold over the static
+        limb axis — no argmax/take gathers on the minor axis."""
         import jax.numpy as jnp
-        r_be = np.array([(R_MOD >> (16 * (15 - i))) & 0xFFFF
-                         for i in range(16)], dtype=np.uint32)
         brp = np.asarray(self._brp)
         a = bytes_u8.astype(jnp.uint32)
-        limbs_be = (a[..., 0::2] << 8) | a[..., 1::2]   # (k, n, 16)
-        lt = limbs_be < r_be
-        gt = limbs_be > r_be
-        first = jnp.argmax(lt | gt, axis=-1)
-        any_diff = jnp.take_along_axis(lt | gt, first[..., None], -1)[..., 0]
-        ok = jnp.all(any_diff &
-                     jnp.take_along_axis(lt, first[..., None], -1)[..., 0])
-        natural = limbs_be[..., ::-1][:, brp]           # little-endian + brp
-        return FR._to_mont(natural), ok
+        limbs_be = (a[..., 0::2] << 8) | a[..., 1::2]   # (k, n, 16) MS-first
+        r_be = [int((R_MOD >> (16 * (15 - i))) & 0xFFFF) for i in range(16)]
+        ok = jnp.zeros(limbs_be.shape[:-1], bool)   # strictly less so far
+        eq = jnp.ones(limbs_be.shape[:-1], bool)    # all equal so far
+        for i in range(16):                          # index 0 is the MSB
+            ok = ok | (eq & (limbs_be[..., i] < r_be[i]))
+            eq = eq & (limbs_be[..., i] == r_be[i])
+        all_ok = jnp.all(ok)
+        natural = limbs_be[..., ::-1][:, brp]       # little-endian + brp
+        return FR._to_mont(natural), all_ok
 
     def _build_stage(self):
         import jax
         return jax.jit(self._stage_body)
 
     def _build_stage_eval(self):
-        """One fused jit: byte staging + batched barycentric eval.
-        Merging the two dispatches matters because every device call
-        rides the host<->chip tunnel (~100 ms round trip here)."""
+        """Staging + batched barycentric eval as TWO chained jits (each
+        compiles to its own fast-layout program; chaining through device
+        arrays costs one extra dispatch, ~ms)."""
         import jax
         from tpukzg.poly.poly import barycentric_eval
 
-        def stage_eval(bytes_u8, z_mont):
-            mont, ok = self._stage_body(bytes_u8)
-            y = barycentric_eval(self.kzg.plan, mont, z_mont)
-            return FR._from_mont(y), ok
+        if self._stage is None:
+            self._stage = self._build_stage()
+        ev = jax.jit(lambda mont, z: FR._from_mont(
+            barycentric_eval(self.kzg.plan, mont, z)))
 
-        return jax.jit(stage_eval)
+        def stage_eval(bytes_u8, z_mont):
+            mont, ok = self._stage(bytes_u8)
+            return ev(mont, z_mont), ok
+
+        return stage_eval
 
     def _blob_natural_mont(self, blobs: list[bytes]) -> np.ndarray:
         """blobs -> (k, n, 16) Montgomery evals in NATURAL domain order.
@@ -128,6 +140,14 @@ class BlobKzg:
         if not bool(np.asarray(ok)):
             raise ValueError("blob element out of Fr range")
         return mont
+
+    def _verdict_fold(self, ok, ok_sub, ok_range):
+        if self._verdict_jit is None:
+            import jax
+            import jax.numpy as jnp
+            self._verdict_jit = jax.jit(
+                lambda a, b, c: a & jnp.all(b) & c)
+        return self._verdict_jit(ok, ok_sub, ok_range)
 
     def _decompress_g1_two_async(self, byte_list_a, byte_list_b):
         """Decompress + sqrt + on-curve + subgroup-check two point lists
@@ -238,6 +258,16 @@ class BlobKzg:
         identical (same programs, same order) — pipelining only changes
         when the host blocks.
         """
+        import os
+        import time as _time
+        timing = os.environ.get("TPUKZG_TIMING") == "1"
+        marks = []
+
+        def mark(label):
+            if timing:
+                marks.append((label, _time.perf_counter()))
+
+        mark("begin")
         k = len(blobs)
         assert k == len(commitment_bytes_list) == len(proof_bytes_list)
         if k == 0:
@@ -251,33 +281,64 @@ class BlobKzg:
                 commitment_bytes_list, proof_bytes_list)
         except ValueError:          # malformed encoding (host-side reject)
             return lambda: False
+        mark("decompress_dispatch")
 
         # host Fiat-Shamir z = H(blob, C) runs while the device works
         zs = [transcript.compute_challenge(blobs[i], commitment_bytes_list[i],
                                            self.n) for i in range(k)]
         z_can = np.asarray(FR.from_int(zs)).reshape(k, 16)
+        # Montgomery form of z computed HOST-SIDE (z * 2^256 mod r with
+        # python bignums): the old device to_mont + np.asarray cost a
+        # full tunnel round trip (~0.1s) per batch.
+        z_mont_np = np.asarray(FR.from_int(
+            [(zi << 256) % R_MOD for zi in zs])).reshape(k, 16)
+        mark("host_fs_z")
 
         if self._stage_eval is None:
             self._stage_eval = self._build_stage_eval()
         raw = np.stack([np.frombuffer(b, dtype=np.uint8).reshape(self.n, 32)
                         for b in blobs])
-        y_dev, ok_range = self._stage_eval(raw, np.asarray(FR.to_mont(z_can)))
+        mark("np_stack")
+        import jax
+        # async row-major stream; dispatch chains on it without blocking.
+        # (The tunnel's throughput varies ~100x over time — 0.02s to 2s
+        # for these 32 MB — so upload cost is weather, not design; the
+        # pipelined API overlaps it with the previous batch's compute.)
+        raw_dev = jax.device_put(raw)
+        mark("device_put")
+        y_dev, ok_range = self._stage_eval(raw_dev, z_mont_np)
+        mark("stage_eval_dispatch")
 
         def resolve() -> bool:
+            mark("resolve_begin")
             y_can = np.asarray(y_dev)   # sync: y feeds the rho transcript
+            mark("y_sync")
             ys = fr_ints_from_limbs(y_can)
             _, rho_powers = transcript.compute_r_powers(
                 commitment_bytes_list, zs, ys, proof_bytes_list, self.n)
             rho_can = np.asarray(FR.from_int(rho_powers)).reshape(k, 16)
+            mark("host_fs_rho")
             from tpukzg.utils import checked
             checked.check_limbs("verify_batch.z", z_can)
             checked.check_limbs("verify_batch.y", y_can)
             checked.check_limbs("verify_batch.rho", rho_can)
             ok = self.kzg.verify_batch(c_pts, z_can, y_can, pi_pts, rho_can)
-            # single sync point folds all three device verdicts
-            return bool(np.asarray(ok)
-                        & np.all(np.asarray(ok_sub))
-                        & np.asarray(ok_range))
+            mark("verify_batch_dispatch")
+            # ONE device->host pull for all three verdicts: each separate
+            # np.asarray sync pays a tunnel round trip
+            ok_all = self._verdict_fold(ok, ok_sub, ok_range)
+            out = bool(np.asarray(ok_all))
+            mark("verdict_sync")
+            if timing:
+                import sys as _sys
+                prev = marks[0][1]
+                parts = []
+                for lbl, t in marks[1:]:
+                    parts.append(f"{lbl}={t - prev:.3f}")
+                    prev = t
+                print("[timing]", " ".join(parts), file=_sys.stderr,
+                      flush=True)
+            return out
 
         return resolve
 
