@@ -20,7 +20,7 @@ Designed to finish COLD within a tight driver budget (round 1 timed out):
 
 Env knobs: TPUKZG_BENCH_N (blob size, default 4096),
            TPUKZG_BENCH_K (batch size, default 256),
-           TPUKZG_BENCH_REPS (timed repetitions, default 3),
+           TPUKZG_BENCH_REPS (timed repetitions, default 10),
            TPUKZG_BENCH_BUDGET (soft wall-clock budget secs, default 480).
 """
 
@@ -44,6 +44,8 @@ os.environ.setdefault("TPUKZG_CACHE_DIR", os.path.join(REPO, ".srs_cache"))
 # Fr stays on lax.scan sweeps.  setdefault: env overrides win.
 os.environ.setdefault("TPUKZG_CARRY_FP", "ks")
 os.environ.setdefault("TPUKZG_CARRY_FR", "scan")
+# fold chain KS: 0.414s -> 0.351s on the k=256 grouped MSM (same rows)
+os.environ.setdefault("TPUKZG_FOLD_CARRY", "ks")
 
 # Big-stack thread for XLA compile + executable (de)serialization: both
 # overflow the default 8 MB stack on this library's large modules
@@ -154,7 +156,7 @@ def main():
 
     n = int(os.environ.get("TPUKZG_BENCH_N", "4096"))
     k = int(os.environ.get("TPUKZG_BENCH_K", "256"))
-    reps = int(os.environ.get("TPUKZG_BENCH_REPS", "3"))
+    reps = int(os.environ.get("TPUKZG_BENCH_REPS", "10"))
     budget = float(os.environ.get("TPUKZG_BENCH_BUDGET", "480"))
     distinct = min(k, int(os.environ.get("TPUKZG_BENCH_DISTINCT", "16")))
     _state.update(k=k, n=n,
@@ -232,7 +234,13 @@ def main():
         _state["best"] = (time.time() - t_pipe0) / done_reps
         log(f"rep {i}: block {times[-1]:.3f}s, "
             f"sustained {_state['best']:.3f}s/rep")
-        if time.time() - _T0 > budget and i + 1 < reps:
+        # The wall budget is for the COLD-compile phases; once reps are
+        # running they cost seconds each, and the pipelined rate only
+        # converges with >= 2 reps — allow a small measurement window
+        # past the budget instead of stopping after one rep.
+        if (time.time() - _T0 > budget
+                and time.time() - t_pipe0 > 4 * max(times)
+                and i + 1 < reps):
             log("budget reached; stopping reps early")
             resolvers[i + 1]()   # drain the in-flight dispatch
             break
