@@ -283,6 +283,11 @@ def decompress_batch(byte_list):
         _combine_ok_jit = jax.jit(
             lambda oc, sub, i: (oc & sub) | i)
     pts, ok_curve = _decompress_jit(x_l, sign, inf)
+    from tpukzg.utils.config import KzgConfig
+    if not KzgConfig.from_env().check_subgroup:
+        # trusted-input mode (TPUKZG_CHECK_SUBGROUP=0): skip the GLV
+        # membership chain; on-curve + range checks still run
+        return pts, _combine_ok_jit(ok_curve, ok_curve, inf)
     sub = in_subgroup_fast(pts)
     return pts, _combine_ok_jit(ok_curve, sub, inf)
 
