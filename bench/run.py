@@ -59,8 +59,11 @@ def _timeit(f, *args, reps=10, name="kernel"):
 
 
 def _configs():
-    return as_json_dict(FieldConfig(), MsmConfig.from_env(),
-                        ScanConfig.from_env(), NttConfig.from_env())
+    import os
+    d = as_json_dict(FieldConfig.from_env(), MsmConfig.from_env(),
+                     ScanConfig.from_env(), NttConfig.from_env())
+    d["fold_carry"] = os.environ.get("TPUKZG_FOLD_CARRY", "scan")
+    return d
 
 
 def bench_montmul(n):
@@ -122,7 +125,8 @@ def bench_msm(n, c=None):
     ks[:, -1] &= 0x7FFF
     base = G1.gen((n,))  # same point n times; timing-equivalent to random
     pip = PippengerLM(window=mc.window, window_chunk=mc.window_chunk)
-    t = _timeit(lambda p_, k_: pip._jit(p_, k_, c=c), base, ks, reps=5,
+    reps = int(os.environ.get("TPUKZG_BENCH_MSM_REPS", "3"))
+    t = _timeit(lambda p_, k_: pip.msm(p_, k_, c=c), base, ks, reps=reps,
                 name="msm")
     adds = msm_ec_adds(n, c)
     return {"kernel": "pippenger_msm_g1_lm", "n": n, "window": c,
@@ -177,17 +181,26 @@ def bench_pipeline(n=1 << 18):
     pip = PippengerLM(window=mc.window, window_chunk=mc.window_chunk)
     pts = G1.gen((n,))
 
-    def open_coeff(points, coeffs_mont, z_mont):
+    def quotient_part(coeffs_mont, z_mont):
         evals = plan._ntt(coeffs_mont)
         y = barycentric_eval(plan, evals, z_mont)
         q = eval_form_quotient(plan, evals, z_mont, y)
-        return pip._msm_public(points, FR.from_mont(q), c=c), y
+        return FR.from_mont(q), y
 
-    jfn = jax.jit(open_coeff)
+    # Two chained dispatches: the fused single program at 2^18 exceeds
+    # device memory at runtime (the MSM scan holds ~30 live (L, 1, n)
+    # intermediates); the MSM half runs through the point-chunked path.
+    jfn = jax.jit(quotient_part)
+
+    def open_coeff(points, coeffs_mont, z_mont):
+        q_can, y = jfn(coeffs_mont, z_mont)
+        return pip.msm(points, q_can, c=c), y
+
     rng = np.random.default_rng(0)
     coeffs = rng.integers(0, 1 << 14, size=(n, 16), dtype=np.uint32)
     z = np.asarray(FR.to_mont(FR.from_int(0x5EED5EED)))
-    t = _timeit(jfn, pts, coeffs, z, reps=5, name="pipeline")
+    reps_p = int(os.environ.get("TPUKZG_BENCH_MSM_REPS", "3"))
+    t = _timeit(open_coeff, pts, coeffs, z, reps=reps_p, name="pipeline")
     adds = msm_ec_adds(n, c)
     return {"kernel": "open_coeff_pipeline", "n": n, "window": c,
             "opens_per_s": 1.0 / t,

@@ -82,6 +82,7 @@ class PippengerLM:
         self.window_chunk = (window_chunk if window_chunk is not None
                              else env.window_chunk)
         self.chunk_budget_bytes = chunk_budget_bytes
+        self._acc_jit = None     # chunked-MSM partial-point reducer
         self._jit = jax.jit(self._msm_public, static_argnames=("c",))
         self._jit_batch = jax.jit(self._msm_batch_public,
                                   static_argnames=("c",))
@@ -170,13 +171,38 @@ class PippengerLM:
 
     # -- public-layout wrapper --
 
+    # Largest single-program point count: the Hillis-Steele scan holds
+    # ~30 live (L, g, n) u32 intermediates, so one 2^20-point window row
+    # wants ~39 GB HBM (observed OOM, v5e 16 GB).  Above this the MSM
+    # splits into equal point-chunks whose partial results EC-add — the
+    # same group element by associativity (affine-checked in
+    # tests/test_msm.py), one extra add per chunk.
+    point_chunk = 1 << 17
+
     def msm(self, points, scalars, c: int | None = None):
         """points: (n, L)-layout coord tuple; scalars (n, 16) canonical.
         Returns a public-layout point (3 coords, (L,) arrays)."""
         n = scalars.shape[0]
         if c is None:
             c = self.window or default_window(n)
-        return self._jit(points, scalars, c=c)
+        if n <= self.point_chunk:
+            return self._jit(points, scalars, c=c)
+        import jax
+        m = self.point_chunk
+        npad = -(-n // m) * m
+        if npad != n:   # zero scalars -> inert pad points (digit 0)
+            points = tuple(jnp.pad(p, ((0, npad - n),) + ((0, 0),) *
+                                   (p.ndim - 1)) for p in points)
+            scalars = jnp.pad(scalars, ((0, npad - n), (0, 0)))
+        acc = None
+        if self._acc_jit is None:
+            self._acc_jit = jax.jit(self.fold_curve.add)
+        for i in range(0, npad, m):
+            part = self._jit(tuple(p[i:i + m] for p in points),
+                             scalars[i:i + m], c=c)
+            part_lm = tuple(p for p in part)
+            acc = part_lm if acc is None else self._acc_jit(acc, part_lm)
+        return acc
 
     def _msm_public(self, points, scalars, *, c: int):
         pts_lm = tuple(jnp.moveaxis(p, -1, 0) for p in points)  # (L, n)
