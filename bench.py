@@ -46,6 +46,12 @@ os.environ.setdefault("TPUKZG_CARRY_FP", "ks")
 os.environ.setdefault("TPUKZG_CARRY_FR", "scan")
 # fold chain KS: 0.414s -> 0.351s on the k=256 grouped MSM (same rows)
 os.environ.setdefault("TPUKZG_FOLD_CARRY", "ks")
+# VMEM-fused Pallas bucket scan at the PRODUCTION merged-grouped shape
+# (64 rows x 640 lanes): vb_msm 0.351s -> 0.143s, measured 2026-08-20
+# (phase_vb_msm rows; the r3 hang does not reproduce with the merged
+# shapes — 5/5 compiled TPU gates green, bench/tpu_gate.log).  On the
+# CPU fallback path seg_scan lowers to its jitted pure twin.
+os.environ.setdefault("TPUKZG_SCAN_IMPL", "pallas")
 
 # Big-stack thread for XLA compile + executable (de)serialization: both
 # overflow the default 8 MB stack on this library's large modules

@@ -132,8 +132,20 @@ def _worker(rank: int, nproc: int, port: int, k: int, n: int):
     mesh = cfg.build(jax.devices())          # one CPU device per process
     sbv = ShardedBatchVerifier(setup, cfg, mesh=mesh)
     args = _example(setup, k)
+    # AOT-compile BEFORE the cross-process barrier: on a 1-core host the
+    # two processes' compiles skew by minutes, and gloo's first
+    # collective only waits ~30s for its peer (observed
+    # DEADLINE_EXCEEDED).  Compile (no collectives), sync through the
+    # coordination service, then execute together.
+    from tpukzg.msm.pippenger import default_window
+    c_win = default_window(3 * (k // nproc) + 1)
+    fn = sbv._cache.setdefault(c_win, sbv._build(c_win))
+    c_pts, z_can, y_can, pi_pts, rho_can = args
+    compiled = fn.lower(c_pts, pi_pts, z_can, y_can, rho_can).compile()
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("tpukzg-scaling-compiled")
     t0 = time.perf_counter()
-    ok = sbv.verify_batch(*args)
+    ok = compiled(c_pts, pi_pts, z_can, y_can, rho_can)
     jax.block_until_ready(ok)
     if rank == 0:
         print(json.dumps({"kernel": "multiproc_batch_verify",
