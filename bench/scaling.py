@@ -142,8 +142,11 @@ def _worker(rank: int, nproc: int, port: int, k: int, n: int):
     fn = sbv._cache.setdefault(c_win, sbv._build(c_win))
     c_pts, z_can, y_can, pi_pts, rho_can = args
     compiled = fn.lower(c_pts, pi_pts, z_can, y_can, rho_can).compile()
-    from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices("tpukzg-scaling-compiled")
+    from jax._src import distributed
+    # long-timeout barrier: under 1-core contention the peer's compile
+    # can lag by many minutes, far past sync_global_devices' default
+    distributed.global_state.client.wait_at_barrier(
+        "tpukzg-scaling-compiled", timeout_in_ms=30 * 60 * 1000)
     t0 = time.perf_counter()
     ok = compiled(c_pts, pi_pts, z_can, y_can, rho_can)
     jax.block_until_ready(ok)

@@ -24,27 +24,35 @@ from tpukzg.field.mont import FR
 from tpukzg.ntt.ntt import NttPlan
 
 
-def _zn_minus_one(plan: NttPlan, z):
-    """z^n - 1 via log2(n) squarings (n is a power of two)."""
-    zn = z
-    for _ in range(plan.log_n):
-        zn = FR.mul(zn, zn)
-    return FR.sub(zn, jnp.broadcast_to(jnp.asarray(FR.one_mont), z.shape))
-
-
 def barycentric_eval(plan: NttPlan, evals, z):
-    """p(z) for evaluation-form p on plan's domain. Batched over leading axes."""
+    """p(z) for evaluation-form p on plan's domain. Batched over leading axes.
+
+    INVERSION-FREE fraction-tree form (r4 rework; bench/results.jsonl
+    showed batch_inv was 0.25s of the 0.31s eval at (256, 4096)):
+    with partial fractions  sum_i e_i w^i/(z - w^i) = N(z) / prod(z-w^i)
+    and  prod_i (z - w^i) = z^n - 1,  the barycentric scale factor
+    cancels exactly:  p(z) = (z^n-1)/n * N(z)/(z^n-1) = N(z)/n.
+    N is built by pairwise merging (a, b) fraction nodes
+    (a = a_l b_r + a_r b_l, b = b_l b_r): ~4n montmuls, work-efficient
+    halving levels, NO field inversions, and the in-domain case z = w^m
+    needs no branch — N(w^m) = e_m * w^m * (x^n-1)'(w^m) = n e_m, so
+    N/n = e_m automatically (derivative identity; differentially tested
+    vs the golden model incl. the in-domain KATs)."""
     roots = jnp.asarray(plan.roots)  # (n, L)
-    d = FR.sub(z[..., None, :], roots)           # (..., n, L)  z - w^i
-    mask = FR.is_zero(d)                          # (..., n)
-    in_domain = jnp.any(mask, axis=-1)            # (...)
-    dinv = FR.batch_inv(d, axis=-2)               # inv(0) = 0
-    terms = FR.mul(FR.mul(evals, jnp.broadcast_to(roots, d.shape)), dinv)
-    s = FR.sum_along(terms, axis=-2)              # (..., L)
-    factor = FR.mul(_zn_minus_one(plan, z), jnp.asarray(plan.n_inv))
-    out_val = FR.mul(factor, s)
-    in_val = FR.sum_along(FR.select(mask, evals, jnp.zeros_like(evals)), axis=-2)
-    return FR.select(in_domain, in_val, out_val)
+    a = FR.mul(evals, jnp.broadcast_to(roots, evals.shape))  # e_i w^i
+    b = FR.sub(z[..., None, :], roots)                       # z - w^i
+    n = a.shape[-2]
+    while n > 1:
+        al, ar = a[..., 0::2, :], a[..., 1::2, :]
+        bl, br = b[..., 0::2, :], b[..., 1::2, :]
+        lhs = jnp.concatenate([al, ar, bl], axis=-2)
+        rhs = jnp.concatenate([br, bl, br], axis=-2)
+        prod = FR.mul(lhs, rhs)
+        m = n // 2
+        a = FR.add(prod[..., :m, :], prod[..., m:2 * m, :])
+        b = prod[..., 2 * m:, :]
+        n = m
+    return FR.mul(a[..., 0, :], jnp.asarray(plan.n_inv))
 
 
 def eval_form_quotient(plan: NttPlan, evals, z, y):

@@ -88,6 +88,23 @@ def install() -> None:
     if _installed:
         return
     _installed = True
+    # sweep stale child temp dirs (crashed writers), skipping live pids
+    try:
+        import glob
+        import re
+        import shutil
+        cd = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        for d in glob.glob(f"{cd}.tmp*") if cd else []:
+            m = re.search(r"\.tmp(\d+)$", d)
+            if m:
+                try:
+                    os.kill(int(m.group(1)), 0)
+                    continue  # writer still alive
+                except OSError:
+                    pass
+            shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        pass
     # Raise RLIMIT_STACK so every pthread created AFTER this point (XLA's
     # internal compilation worker threads included) gets a large default
     # stack: the round-1/2 fatal crashes were segfaults inside
@@ -133,11 +150,29 @@ def install() -> None:
                 # optimization — skip it and retry on a later call.
                 return None
             if pid == 0:
-                # child: write the cache entry, exit hard (no atexit /
-                # buffered-IO replay of the parent's state)
+                # child: write the cache entry into a PRIVATE temp dir,
+                # then atomically rename finished files into the real
+                # cache.  A child that segfaults mid-serialize (the
+                # known XLA:CPU bug) must not leave a TRUNCATED entry in
+                # the shared dir — a later load of a torn entry aborted
+                # the whole pytest parent (observed 2026-08-20, rc=134).
                 try:
+                    import shutil as _shutil
+                    real = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                    tmp = f"{real}.tmp{os.getpid()}" if real else None
+                    if tmp:
+                        os.makedirs(tmp, exist_ok=True)
+                        from jax._src import config as _jcfg
+                        from jax._src import compilation_cache as _cc2
+                        _cc2.reset_cache()
+                        _jcfg.config.update("jax_compilation_cache_dir", tmp)
                     _run_on_big_stack(_orig_put, cache_key, module_name,
                                       executable, backend, *a, **k)
+                    if tmp:
+                        for f in os.listdir(tmp):
+                            os.replace(os.path.join(tmp, f),
+                                       os.path.join(real, f))
+                        _shutil.rmtree(tmp, ignore_errors=True)
                     os._exit(0)
                 except BaseException:
                     os._exit(1)
@@ -161,7 +196,12 @@ def install() -> None:
             return None
 
         def get_big(*a, **k):
-            return _run_on_big_stack(_orig_get, *a, **k)
+            try:
+                return _run_on_big_stack(_orig_get, *a, **k)
+            except Exception:
+                # torn/corrupt entry (e.g. a crashed writer on an older
+                # tree) -> treat as a cache miss, never take the run down
+                return None, None
 
         _cc.put_executable_and_time = put_big
         _cc.get_executable_and_time = get_big

@@ -156,11 +156,13 @@ def test_from_compressed_validates_g2(ts, gs):
     from tpukzg.curve import g1 as g1m, g2 as g2m
     from tpukzg.kzg.setup import Setup
 
-    mono_b = [g1m.compress_point(tuple(np.asarray(c)[i] for c in ts.monomial_g1))
+    mono_b = [g1m.compress_point(tuple(np.asarray(c)[i]
+                                       for c in ts.setup.monomial_g1))
               for i in range(ts.n)]
-    lag_b = [g1m.compress_point(tuple(np.asarray(c)[i] for c in ts.lagrange_g1))
+    lag_b = [g1m.compress_point(tuple(np.asarray(c)[i]
+                                      for c in ts.setup.lagrange_g1))
              for i in range(ts.n)]
-    tau_b = g2m.compress_point(ts.g2_tau)
+    tau_b = g2m.compress_point(ts.setup.g2_tau)
 
     # valid SRS loads (and validates) fine
     s2 = Setup.from_compressed(mono_b, lag_b, tau_b)
