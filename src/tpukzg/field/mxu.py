@@ -20,8 +20,15 @@ Numeric bounds (checked in tests/test_field.py):
 
 This module is the go/no-go PROTOTYPE: `montmul_mxu` is differentially
 tested bit-exact vs FP.mul, and bench/run.py `--kernels montmul_mxu` gives
-the Mmul/s comparison.  Production wiring (FieldParams.mul dispatch) is
-gated on the measured win via TPUKZG_MXU=1.
+the Mmul/s comparison.
+
+GO/NO-GO VERDICT (2026-08-20, real v5e, n=131072 — bench/results.jsonl):
+**NO-GO.**  montmul_fp (VPU separated-REDC) 4.68M mul/s vs
+montmul_fp_mxu 3.71M mul/s: the u16->byte split, bf16 cast and the
+32->16-bit column refold around the two constant matmuls cost more than
+the matmuls save, and the first (variable x variable) convolution stays
+on the VPU either way.  The prototype is kept as the measured answer to
+SURVEY.md section 7 hard-part 1; production stays on the VPU path.
 """
 
 from __future__ import annotations
