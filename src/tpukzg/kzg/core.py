@@ -42,7 +42,13 @@ class Kzg:
         self.interpolate = jax.jit(self._interpolate)
         self.to_evals = jax.jit(self._to_evals)
         self.eval_at = jax.jit(self._eval_at)
-        self.verify = jax.jit(self._verify)
+        # Single verify runs as TWO chained programs (lhs scalar ladder,
+        # then the same pairing program the batch path uses): the fused
+        # jit__verify graph SEGFAULTS XLA:CPU at compile time on a cold
+        # cache (big-stack thread included — the round-1..4 suite
+        # killer), and the split also shares the pairing executable
+        # with verify_batch.
+        self._verify_lhs_jit = jax.jit(self._verify_lhs)
         # Batch verify is dispatched as TWO jitted programs (MSM fold,
         # then pairing) rather than one: the fused executable was too
         # big for XLA:CPU — backend_compile aborted fatally on a cold
@@ -130,16 +136,23 @@ class Kzg:
 
     # -- verify ------------------------------------------------------------
 
-    def _verify(self, c_point, z_can, y_can, proof_point):
-        """Single verify; z_can/y_can are canonical Fr limbs (..., 16).
-        Batch axes broadcast across all four arguments."""
+    def _verify_lhs(self, c_point, z_can, y_can, proof_point):
+        """lhs = C - [y]G1 + [z]pi; batch axes broadcast."""
         y_g = G1.scalar_mul(G1.gen(), y_can)
         z_pi = G1.scalar_mul(proof_point, z_can)
-        lhs = G1.add(G1.add(c_point, G1.neg(y_g)), z_pi)
-        return pairing_check([
-            (lhs, self.setup.lines_gen),
-            (G1.neg(proof_point), self.setup.lines_tau),
-        ])
+        return G1.add(G1.add(c_point, G1.neg(y_g)), z_pi)
+
+    def verify(self, c_point, z_can, y_can, proof_point):
+        """Single verify; z_can/y_can are canonical Fr limbs (..., 16).
+        Batch axes broadcast across all four arguments.  Two chained
+        jitted programs (see __init__) with no host sync between."""
+        lhs = self._verify_lhs_jit(c_point, z_can, y_can, proof_point)
+        return self._vb_pair(proof_point, lhs)
+
+    def _verify(self, c_point, z_can, y_can, proof_point):
+        """Single-graph variant (tests/entry-points that want one jit)."""
+        lhs = self._verify_lhs(c_point, z_can, y_can, proof_point)
+        return self._verify_batch_pair(proof_point, lhs)
 
     def _verify_batch_msm(self, c_points, z_can, y_can, proof_points,
                           rho_can):
