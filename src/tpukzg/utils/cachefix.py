@@ -115,7 +115,7 @@ def install() -> None:
     # big-stack thread below is for.)
     try:
         import resource
-        want = 512 << 20
+        want = 2048 << 20
         soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
         cap = want if hard == resource.RLIM_INFINITY else min(want, hard)
         if soft != resource.RLIM_INFINITY and (soft < cap):
