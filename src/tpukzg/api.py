@@ -98,6 +98,16 @@ def verify_blob_kzg_proof_batch_async(blobs, commitment_bytes_list,
         blobs, commitment_bytes_list, proof_bytes_list)
 
 
+def verify_blob_kzg_proof_batch_pipeline(blobs, commitment_bytes_list,
+                                         proof_bytes_list, ts: TrustedSetup):
+    """3-stage pipelined verify: returns a pending object with
+    .stage2() (y sync + verify dispatch, non-blocking) and
+    .result() -> bool.  Lets a serving loop keep the device queue full
+    across batches (see BlobKzg.verify_blob_kzg_proof_batch_pipeline)."""
+    return ts.blob.verify_blob_kzg_proof_batch_pipeline(
+        blobs, commitment_bytes_list, proof_bytes_list)
+
+
 def verify_blob_kzg_proof_batch_chunked(blobs, commitment_bytes_list,
                                         proof_bytes_list, ts: TrustedSetup,
                                         chunk: int = 64,

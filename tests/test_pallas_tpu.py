@@ -120,3 +120,39 @@ def test_mxu_montmul_compiled(rng):
     got = np.asarray(montmul_mxu(a, b, FP))
     ref = np.asarray(FP.mul(a, b))
     assert np.array_equal(got, ref)
+
+
+def test_fractree_eval_compiled(rng):
+    """Fraction-tree eval kernel compiled through Mosaic at the
+    production blob shape (n=4096), vs the pure-bignum golden
+    barycentric formula (no second XLA compile on the shared host)."""
+    import jax.numpy as jnp
+    import golden.model as gold
+    from tpukzg.ntt.ntt import get_plan
+    from tpukzg.poly.poly import _fraction_merge
+    from tpukzg.pallas import fractree
+
+    n, k = 4096, 4
+    plan = get_plan(n)
+    nprng = np.random.default_rng(0xF4AC)
+    ev_int = [[int(v) for v in row]
+              for row in nprng.integers(0, 1 << 62, size=(k, n))]
+    evals = np.stack([FR.to_mont_host(row) for row in ev_int])
+    zs = [int(nprng.integers(1 << 60)) for _ in range(k - 1)]
+    zs.append(plan.roots_int[17])            # in-domain
+    z = np.stack([np.asarray(FR.to_mont_host(v)) for v in zs])
+    a, b = fractree.fractree_partials(evals, z, plan.roots, tile=4096)
+    got_m = FR.mul(_fraction_merge(jnp.asarray(a), jnp.asarray(b)),
+                   jnp.asarray(plan.n_inv))
+    got = [FR.to_int(row) for row in np.asarray(FR.from_mont(got_m))]
+    R = gold.R
+    for i in range(k):
+        zi = zs[i] % R
+        if zi in plan.roots_int:
+            expect = ev_int[i][plan.roots_int.index(zi)] % R
+        else:
+            s = sum(e * w % R * pow((zi - w) % R, -1, R)
+                    for e, w in zip(ev_int[i], plan.roots_int)) % R
+            expect = s * (pow(zi, n, R) - 1) % R * pow(n, -1, R) % R
+        assert got[i] == expect, i
+    assert got[-1] == ev_int[-1][17] % R
