@@ -37,21 +37,12 @@ for p in (REPO, os.path.join(REPO, "src")):
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
 os.environ.setdefault("TPUKZG_CACHE_DIR", os.path.join(REPO, ".srs_cache"))
-# Measured-default carry lowering (bench/results.jsonl, 2026-08-20, real
-# v5e, k=256/n=4096): Fp Kogge-Stone cuts the latency-bound phases
-# (vb_pair 0.793s -> 0.137s, decompress 0.078s -> 0.054s) while Fr KS
-# REGRESSES the wide barycentric path 3x (stage_eval 1.18s -> 3.76s), so
-# Fr stays on lax.scan sweeps.  setdefault: env overrides win.
-os.environ.setdefault("TPUKZG_CARRY_FP", "ks")
-os.environ.setdefault("TPUKZG_CARRY_FR", "scan")
-# fold chain KS: 0.414s -> 0.351s on the k=256 grouped MSM (same rows)
-os.environ.setdefault("TPUKZG_FOLD_CARRY", "ks")
-# VMEM-fused Pallas bucket scan at the PRODUCTION merged-grouped shape
-# (64 rows x 640 lanes): vb_msm 0.351s -> 0.143s, measured 2026-08-20
-# (phase_vb_msm rows; the r3 hang does not reproduce with the merged
-# shapes — 5/5 compiled TPU gates green, bench/tpu_gate.log).  On the
-# CPU fallback path seg_scan lowers to its jitted pure twin.
-os.environ.setdefault("TPUKZG_SCAN_IMPL", "pallas")
+# Kernel lowering defaults (Fp KS carries, KS fold chain, Pallas bucket
+# scan, Pallas fraction-tree eval on TPU; scan/loop/xla on CPU) are the
+# LIBRARY's earned per-backend defaults as of round 5 — utils/config.py
+# and field/mont.py resolve them from the active backend, so the bench
+# needs no env pinning and the CPU-fallback path automatically gets the
+# compile-lean lowerings.  TPUKZG_* env vars still override.
 
 # Big-stack thread for XLA compile + executable (de)serialization: both
 # overflow the default 8 MB stack on this library's large modules

@@ -63,7 +63,23 @@ def _configs():
     d = as_json_dict(FieldConfig.from_env(), MsmConfig.from_env(),
                      ScanConfig.from_env(), NttConfig.from_env())
     d["fold_carry"] = os.environ.get("TPUKZG_FOLD_CARRY", "scan")
+    d["eval_impl"] = os.environ.get("TPUKZG_EVAL_IMPL", "(default)")
     return d
+
+
+def _g1_expected_multiple(got_pt, k_int):
+    """check bit: does `got_pt` (projective G1 tuple) equal [k_int]G1?
+    One device scalar-mul + normalized compare (VERDICT r4 #4: a bench
+    row without a pass/fail bit is half an artifact)."""
+    import numpy as np
+    from tpukzg.field.mont import FR
+    from tpukzg.curve.g1 import G1
+    expect = G1.scalar_mul(G1.gen(), np.asarray(FR.from_int(k_int)))
+    xa, ya, ia = (np.asarray(v) for v in G1.normalize(got_pt))
+    xb, yb, ib = (np.asarray(v) for v in G1.normalize(expect))
+    if bool(ia) or bool(ib):
+        return bool(ia) == bool(ib)
+    return bool(np.array_equal(xa, xb) and np.array_equal(ya, yb))
 
 
 def bench_montmul(n):
@@ -128,9 +144,15 @@ def bench_msm(n, c=None):
     reps = int(os.environ.get("TPUKZG_BENCH_MSM_REPS", "3"))
     t = _timeit(lambda p_, k_: pip.msm(p_, k_, c=c), base, ks, reps=reps,
                 name="msm")
+    # correctness bit: all points are G, so MSM == [sum k_i mod r] G
+    from tpukzg.field.mont import R_MOD
+    col = [int(ks[:, j].astype(np.uint64).sum()) for j in range(16)]
+    k_sum = sum(v << (16 * j) for j, v in enumerate(col)) % R_MOD
+    ok = _g1_expected_multiple(pip.msm(base, ks, c=c), k_sum)
+    assert ok, "MSM result != [sum k_i]G"
     adds = msm_ec_adds(n, c)
     return {"kernel": "pippenger_msm_g1_lm", "n": n, "window": c,
-            "msm_per_s": 1.0 / t,
+            "msm_per_s": 1.0 / t, "check": "pass" if ok else "FAIL",
             **metric_record(config=_configs(), chips=1, hosts=1, wall_s=t,
                             point_adds_per_s_chip=adds / t,
                             sol_flop=pct(1.0 / t, sol_msm_per_s(V5E, n, c)))}
@@ -198,15 +220,87 @@ def bench_pipeline(n=1 << 18):
 
     rng = np.random.default_rng(0)
     coeffs = rng.integers(0, 1 << 14, size=(n, 16), dtype=np.uint32)
-    z = np.asarray(FR.to_mont(FR.from_int(0x5EED5EED)))
+    z = np.asarray(FR.to_mont_host(0x5EED5EED))
     reps_p = int(os.environ.get("TPUKZG_BENCH_MSM_REPS", "3"))
     t = _timeit(open_coeff, pts, coeffs, z, reps=reps_p, name="pipeline")
+    # correctness bit: the SRS base is G repeated, so the commit MSM must
+    # equal [sum q_i mod r] G for the quotient q the device computed.
+    from tpukzg.field.mont import R_MOD
+    (pi, _y) = open_coeff(pts, coeffs, z)
+    q_can, _ = jfn(coeffs, z)
+    qc = np.asarray(q_can)
+    col = [int(qc[:, j].astype(np.uint64).sum()) for j in range(16)]
+    q_sum = sum(v << (16 * j) for j, v in enumerate(col)) % R_MOD
+    ok = _g1_expected_multiple(pi, q_sum)
+    assert ok, "pipeline commit != [sum q_i]G"
     adds = msm_ec_adds(n, c)
     return {"kernel": "open_coeff_pipeline", "n": n, "window": c,
-            "opens_per_s": 1.0 / t,
+            "opens_per_s": 1.0 / t, "check": "pass" if ok else "FAIL",
             **metric_record(config=_configs(), chips=1, hosts=1, wall_s=t,
                             point_adds_per_s_chip=adds / t,
                             sol_flop=pct(1.0 / t, sol_msm_per_s(V5E, n, c)))}
+
+
+def bench_eval(k=256, n=4096):
+    """Batched barycentric eval at the production verify shape — the
+    phase VERDICT r4 #3 targets (<= 0.10 s).  Lowering selected by
+    TPUKZG_EVAL_IMPL (xla | pallas fraction-tree kernel); correctness
+    pinned against the pure-bignum golden barycentric formula."""
+    import jax
+    import numpy as np
+    import golden.model as gold
+    from tpukzg.field.mont import FR
+    from tpukzg.ntt.ntt import get_plan
+    from tpukzg.poly.poly import barycentric_eval
+    from bench.roofline import V5E, sol_montmul_per_s, pct
+
+    plan = get_plan(n)
+    rng = np.random.default_rng(7)
+    ev_int = rng.integers(0, 1 << 62, size=(k, n))
+    evals = np.stack([FR.to_mont_host([int(v) for v in row])
+                      for row in ev_int])
+    z_int = [int(v) for v in rng.integers(1, 1 << 62, size=k)]
+    z = np.stack([FR.to_mont_host(v) for v in z_int])
+    f = jax.jit(lambda e, zz: barycentric_eval(plan, e, zz))
+    t = _timeit(f, evals, z, name="eval")
+    got = [FR.to_int(r) for r in np.asarray(FR.from_mont(f(evals, z)))[:2]]
+    R = gold.R
+    ok = True
+    for i in range(2):
+        s = sum(e * w % R * pow((z_int[i] - w) % R, -1, R)
+                for e, w in zip(ev_int[i].tolist(), plan.roots_int)) % R
+        expect = s * (pow(z_int[i], n, R) - 1) % R * pow(n, -1, R) % R
+        ok &= got[i] == expect
+    assert ok, "eval != golden barycentric"
+    muls = 4 * n * k  # fraction-tree montmul count
+    return {"kernel": "barycentric_eval", "n": n, "k": k,
+            "evals_per_s": k / t, "check": "pass" if ok else "FAIL",
+            **metric_record(config=_configs(), chips=1, hosts=1, wall_s=t,
+                            sol_flop=pct(muls / t, sol_montmul_per_s(V5E, 16)))}
+
+
+def bench_montmul_pallas(n):
+    """The limb-major Pallas montmul kernel itself (SURVEY comp. 4) —
+    the r1 'microbench ~67 M/s' claim as a committed row with a check
+    bit (VERDICT r4 #7)."""
+    import numpy as np
+    from tpukzg.field.mont import FP
+    from tpukzg.pallas.montmul import montmul_lm_pallas
+    from bench.roofline import V5E, sol_montmul_per_s, pct
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 16, size=(FP.L, n), dtype=np.uint32)
+    b = rng.integers(0, 1 << 16, size=(FP.L, n), dtype=np.uint32)
+    t = _timeit(lambda x, y: montmul_lm_pallas(x, y, FP), a, b,
+                name="montmul_pallas")
+    got = np.asarray(montmul_lm_pallas(a, b, FP))
+    ref = np.asarray(FP.mul(a.T, b.T)).T
+    ok = bool(np.array_equal(got, ref))
+    assert ok, "pallas montmul != FieldParams.mul"
+    rate = n / t
+    return {"kernel": "montmul_fp_pallas", "n": n, "ops_per_s": rate,
+            "check": "pass" if ok else "FAIL",
+            **metric_record(config=_configs(), chips=1, hosts=1, wall_s=t,
+                            sol_flop=pct(rate, sol_montmul_per_s(V5E, FP.L)))}
 
 
 def bench_batch(k=64, n=4096):
@@ -229,9 +323,11 @@ def bench_batch(k=64, n=4096):
 
 KERNELS = {"montmul": lambda a: bench_montmul(a.n),
            "montmul_mxu": lambda a: bench_montmul_mxu(a.n),
+           "montmul_pallas": lambda a: bench_montmul_pallas(a.n),
            "ecadd": lambda a: bench_ecadd(a.n),
            "msm": lambda a: bench_msm(a.n),
            "ntt": lambda a: bench_ntt(min(a.n, 1 << 18)),
+           "eval": lambda a: bench_eval(),
            "pairing": lambda a: bench_pairing(),
            "pipeline": lambda a: bench_pipeline(),
            "batch": lambda a: bench_batch()}

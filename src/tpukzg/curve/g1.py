@@ -305,8 +305,56 @@ def in_subgroup_fast(p):
     The jit wrapper is module-cached: rebuilding it per call forces a
     retrace + executable reload every call (measured 41 s/call at batch
     512 vs ~0.1 s with the cached wrapper)."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return _in_subgroup_split(p)
     global _in_subgroup_jit
     if _in_subgroup_jit is None:
-        import jax
         _in_subgroup_jit = jax.jit(_in_subgroup_check)
     return _in_subgroup_jit(p)
+
+
+_sub_split_jits = None
+
+
+def _in_subgroup_split(p):
+    """CPU lowering of in_subgroup_fast as chained SMALL jits: the fused
+    program recompiled ~6 min in EVERY process because its executable
+    crashes the persistent cache's serializer (utils/cachefix.py
+    sentinel cpu:jit__in_subgroup_check — the biggest fixed cost of the
+    r1..r4 test suite).  One double-run program with a DYNAMIC fori
+    bound serves all segments of both x-chains; values are identical
+    (same ops, different program boundaries)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from tpukzg.curve.weierstrass_lm import G1_LM
+    from tpukzg.field.limb_major import FP_LM
+
+    global _sub_split_jits
+    if _sub_split_jits is None:
+        dbl_run = jax.jit(lambda q, n: lax.fori_loop(
+            0, n, lambda i, a: G1_LM.double(a), q))
+
+        def tail(plm, lam_p):
+            beta = jnp.broadcast_to(jnp.asarray(_beta_mont_col).reshape(
+                (FP.L,) + (1,) * (plm[0].ndim - 1)), plm[0].shape)
+            phi = (FP_LM.mul(plm[0], beta), plm[1], plm[2])
+            return G1_LM.eq(phi, lam_p) & G1_LM.is_on_curve(plm)
+
+        _sub_split_jits = (dbl_run, jax.jit(G1_LM.add), jax.jit(G1_LM.neg),
+                           jax.jit(tail))
+    dbl_run, add_j, neg_j, tail_j = _sub_split_jits
+
+    plm = tuple(jnp.moveaxis(jnp.asarray(c), -1, 0) for c in p)
+
+    def mul_by_x(q):
+        acc = q
+        for n_doubles, then_add in _X_SEGS:
+            acc = dbl_run(acc, jnp.int32(n_doubles))
+            if then_add:
+                acc = add_j(acc, q)
+        return acc
+
+    lam_p = add_j(mul_by_x(mul_by_x(plm)), neg_j(plm))   # [x^2 - 1]P
+    return tail_j(plm, lam_p)

@@ -67,10 +67,15 @@ class FieldParams:
             from tpukzg.utils.config import FieldConfig
             cfg = FieldConfig.from_env()
             carry_impl = cfg.carry_fp if name == "Fp" else cfg.carry_fr
-        assert carry_impl in ("scan", "ks"), carry_impl
-        # Read once at construction (import time): set TPUKZG_CARRY_FP /
-        # TPUKZG_CARRY_FR before importing tpukzg.
-        self.carry_impl = carry_impl
+        assert carry_impl in ("scan", "ks", "auto"), carry_impl
+        # "auto" resolves LAZILY at first trace (see carry_impl property):
+        # resolving the backend at import time would force jax backend
+        # init before the application pins platforms.  Earned defaults
+        # (bench/results.jsonl 2026-08-20, real v5e, k=256/n=4096):
+        # Fp Kogge-Stone on TPU (vb_pair 0.793s -> 0.137s, decompress
+        # 0.078 -> 0.054); Fr stays scan everywhere (KS regressed the
+        # wide barycentric 3x); everything scan on CPU (compile-lean).
+        self._carry_impl = carry_impl
         self.R = 1 << (B * n_limbs)
         assert self.R > modulus > 0
         self.n_prime = (-pow(modulus, -1, 1 << B)) % (1 << B)
@@ -101,6 +106,19 @@ class FieldParams:
         self.to_mont = jax.jit(self._to_mont)
         self.from_mont = jax.jit(self._from_mont)
         self.gt_half = jax.jit(self._gt_half)
+
+    @property
+    def carry_impl(self) -> str:
+        v = self._carry_impl
+        if v == "auto":
+            try:
+                import jax
+                v = ("ks" if self.name == "Fp"
+                     and jax.default_backend() != "cpu" else "scan")
+            except Exception:
+                v = "scan"
+            self._carry_impl = v
+        return v
 
     def _bits(self, e: int) -> np.ndarray:
         return np.array([(e >> i) & 1 for i in range(e.bit_length())], dtype=np.uint32)

@@ -30,7 +30,11 @@ def _fold_curve() -> CurveLM:
     import os
     from tpukzg.field.limb_major import FieldLM
     from tpukzg.field.mont import FP
-    impl = os.environ.get("TPUKZG_FOLD_CARRY", "scan")
+    impl = os.environ.get("TPUKZG_FOLD_CARRY")
+    if impl is None:
+        # EARNED TPU default (committed 2026-08-20 rows: k=256 grouped
+        # fold 0.414s -> 0.351s with KS); scan elsewhere (compile-lean).
+        impl = "ks" if jax.default_backend() != "cpu" else "scan"
     assert impl in ("scan", "ks"), impl
     if impl == "scan":
         return G1_LM

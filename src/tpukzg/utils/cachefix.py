@@ -80,6 +80,36 @@ def _run_on_big_stack(fn, *args, **kwargs):
     return out.get("v")
 
 
+def _probe_in_child(fn, timeout_s: float = 300.0) -> bool:
+    """Run `fn` in a forked child; True iff the child exits cleanly.
+    Python exceptions inside `fn` count as CLEAN (the parent will hit
+    and handle the same exception) — only hard crashes (signals) and
+    hangs return False."""
+    import time as _time
+    try:
+        pid = os.fork()
+    except OSError:
+        return False  # cannot verify safely -> let the caller recompile
+    if pid == 0:
+        try:
+            fn()
+        except BaseException:
+            pass
+        os._exit(0)
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline:
+        done, status = os.waitpid(pid, os.WNOHANG)
+        if done:
+            return status == 0
+        _time.sleep(0.02)
+    try:
+        os.kill(pid, 9)
+        os.waitpid(pid, 0)
+    except OSError:
+        pass
+    return False
+
+
 def install() -> None:
     """Route jax persistent-cache serialize/deserialize through a
     big-stack thread.  Idempotent; silently no-ops if jax internals
@@ -207,6 +237,62 @@ def install() -> None:
         _cc.get_executable_and_time = get_big
         # compiler.py binds the names via module attribute lookups, so
         # patching the compilation_cache module is sufficient.
+    except Exception:
+        pass
+    # DESERIALIZATION of some of this library's big XLA:CPU executables
+    # ALSO segfaults (round-5 root cause of the r1..r4 suite crash:
+    # faulthandler showed get_executable_and_time -> SIGSEGV while
+    # loading the cached jit__verify_lhs entry; the same test PASSED
+    # whenever the entry was absent, because then it merely compiled).
+    # A cache read is therefore probed in a FORKED CHILD first: if the
+    # child dies, the module is sentinel-marked (no reads, no writes —
+    # the program is recompiled per process) and the parent treats the
+    # lookup as a miss.  Probe cost is one extra deserialize for healthy
+    # entries, CPU platform only.
+    try:
+        from jax._src import compiler as _compiler
+
+        _orig_read = _compiler._cache_read
+        # Fork cost scales with the parent's page tables (a warm pytest
+        # process is gigabytes), so probing EVERY read stalls the many
+        # tiny eager-op lookups; every observed (de)serialize crasher
+        # was a multi-MB entry, so only those pay the probe.
+        _PROBE_MIN_BYTES = 1 << 20
+
+        def _entry_size(backend, cache_key):
+            try:
+                cache = _cc._get_cache(backend)
+                if cache is None:
+                    return None
+                blob = cache.get(cache_key)
+                return None if blob is None else len(blob)
+            except Exception:
+                return None
+
+        def cache_read_safe(module_name, cache_key, compile_options,
+                            backend, executable_devices):
+            plat = getattr(backend, "platform", "?")
+            key = f"{plat}:{module_name}"
+            if key in _crashed_modules():
+                return None, None
+            if plat == "cpu":
+                size = _entry_size(backend, cache_key)
+                if size is None:
+                    return None, None  # miss: skip the deserialize path
+                if size >= _PROBE_MIN_BYTES and not _probe_in_child(
+                        lambda: _orig_read(module_name, cache_key,
+                                           compile_options, backend,
+                                           executable_devices)):
+                    _mark(key)
+                    return None, None
+            try:
+                return _run_on_big_stack(_orig_read, module_name, cache_key,
+                                         compile_options, backend,
+                                         executable_devices)
+            except Exception:
+                return None, None
+
+        _compiler._cache_read = cache_read_safe
     except Exception:
         pass
     # The XLA compile itself also recurses deeply on this library's big
