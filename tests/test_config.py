@@ -65,7 +65,11 @@ def test_field_config_carry_env(monkeypatch):
     FieldLM construction — VERDICT r3 item 10: real consumers)."""
     from tpukzg.utils.config import FieldConfig
 
-    assert FieldConfig.from_env().carry_fp == "scan"
+    # unset -> "auto": ks for Fp iff on TPU, resolved lazily at first
+    # trace (round-5 earned default; field/mont.py carry_impl property)
+    assert FieldConfig.from_env().carry_fp == "auto"
+    from tpukzg.field.mont import FP
+    assert FP.carry_impl == "scan"   # this suite is pinned to CPU
     monkeypatch.setenv("TPUKZG_CARRY_FP", "ks")
     monkeypatch.setenv("TPUKZG_CARRY_LM", "ks")
     cfg = FieldConfig.from_env()

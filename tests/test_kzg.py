@@ -16,9 +16,9 @@ TAU = 0xDEADBEEF
 
 
 @pytest.fixture(scope="module")
-def ts(tmp_path_factory):
-    import os
-    os.environ["TPUKZG_CACHE_DIR"] = str(tmp_path_factory.mktemp("srs"))
+def ts():
+    # loads the committed .srs_cache npz (conftest TPUKZG_CACHE_DIR);
+    # the generate+save path is covered by test_setup_save_load_roundtrip
     return tpukzg.generate_insecure_setup(TAU, N)
 
 

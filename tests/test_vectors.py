@@ -22,8 +22,8 @@ def kat():
 
 
 @pytest.fixture(scope="module")
-def ts(kat, tmp_path_factory):
-    os.environ["TPUKZG_CACHE_DIR"] = str(tmp_path_factory.mktemp("srs_kat"))
+def ts(kat):
+    # committed .srs_cache npz via conftest TPUKZG_CACHE_DIR (fast load)
     import tpukzg
     return tpukzg.generate_insecure_setup(int(kat["kzg"]["tau"], 16),
                                           kat["kzg"]["n"])
