@@ -21,10 +21,23 @@ def _miller_one(p_point, lines):
     return FP12.select(jnp.broadcast_to(is_inf, f.shape[:-4]), one, f)
 
 
+_pairing_core_jit = jax.jit(
+    lambda p_point, lines: final_exp(_miller_one(p_point, lines)))
+
+
 def pairing(p_point, q_point):
-    """e(P, Q)^3 — full pairing, comparable bit-exact with golden.pairing."""
+    """e(P, Q)^3 — full pairing, comparable bit-exact with golden.pairing.
+
+    miller+final_exp run as ONE jitted program.  The eager composition
+    returned WRONG values on the tunneled TPU (r5 session, 2026-08-21):
+    the experimental axon client appears to memoize (executable, input
+    buffer ids) pairs, and a long eager op chain recycles freed buffer
+    ids, so later tiny-op calls can be served a stale cached result.
+    Everything inside one jit is a single dispatch and immune; library
+    production paths are already whole-program jits — only this helper
+    composed eagerly."""
     lines = precompute_lines(q_point)
-    return final_exp(_miller_one(p_point, lines))
+    return _pairing_core_jit(p_point, lines)
 
 
 def pairing_check(pairs_with_lines):

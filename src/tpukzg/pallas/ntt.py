@@ -164,11 +164,16 @@ class NttPallas:
         self.plan = plan
         self.interpret = interpret
         self.force_kernel = force_kernel  # true Pallas interpreter (tests)
-        self._tw_f = jnp.asarray(_lane_twiddles(plan, inverse=False))
-        self._tw_i = jnp.asarray(_lane_twiddles(plan, inverse=True))
-        self._scale = jnp.asarray(np.asarray(plan.n_inv)[:, None])
-        self._mu = jnp.asarray(np.asarray(FR.mu_limbs, np.uint32)[:, None])
-        self._pm = jnp.asarray(np.asarray(FR.mod_limbs, np.uint32)[:, None])
+        # HOST (numpy) constants: NttPallas is constructed lazily, and
+        # the first construction can happen INSIDE a jit trace of
+        # plan.ntt — a jnp.asarray here would store that trace's tracer
+        # on self and poison every later call (UnexpectedTracerError,
+        # r5 bench run).  numpy arrays are trace-agnostic.
+        self._tw_f = _lane_twiddles(plan, inverse=False)
+        self._tw_i = _lane_twiddles(plan, inverse=True)
+        self._scale = np.asarray(plan.n_inv)[:, None]
+        self._mu = np.asarray(FR.mu_limbs, np.uint32)[:, None]
+        self._pm = np.asarray(FR.mod_limbs, np.uint32)[:, None]
 
     def _run(self, a, tw, apply_scale):
         plan = self.plan
